@@ -1,0 +1,311 @@
+"""The user-facing Gaussian process interface.
+
+API parity: ``/root/reference/src/tinygp/gp.py:30-393`` — a
+``GaussianProcess`` is a multivariate normal over function values at ``X``
+with methods ``log_probability``, ``condition``, ``predict``, ``sample``,
+and ``numpyro_dist``. Construction factorizes eagerly (functional style: the
+whole object is a pytree, so rebuilding inside a jitted loss stages into one
+XLA program).
+
+Solver auto-selection: quasiseparable kernels (and precomputed ``SymmQSM``
+covariances) route to the O(N) :class:`tinygp_tpu.solvers.QuasisepSolver`;
+everything else uses the dense :class:`tinygp_tpu.solvers.DirectSolver`.
+"""
+
+from __future__ import annotations
+
+__all__ = ["GaussianProcess", "ConditionResult"]
+
+from collections.abc import Callable, Sequence
+from functools import partial
+from typing import TYPE_CHECKING, Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinygp_tpu import kernels, means
+from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.noise import Diagonal, Noise
+from tinygp_tpu.solvers.solver import Solver
+from tinygp_tpu.utils.module import Module, static_field
+
+if TYPE_CHECKING:
+    from tinygp_tpu.numpyro_support import TinyDistribution
+
+
+class GaussianProcess(Module):
+    """A Gaussian process regression model.
+
+    Args:
+        kernel: The covariance kernel.
+        X: Input coordinates — any pytree whose leaves have leading dimension
+            ``N_data``.
+        diag: Extra diagonal variance (scalar or ``(N_data,)``); defaults to
+            ``sqrt(eps)`` jitter for the active dtype.
+        noise: A full :class:`tinygp_tpu.noise.Noise` model; overrides
+            ``diag``.
+        mean: A constant, a callable evaluated per input point, or a
+            :class:`tinygp_tpu.means.MeanBase`.
+        solver: A solver class; auto-selected when omitted.
+        mean_value / covariance_value: Precomputed values used internally by
+            :meth:`condition`.
+        **solver_kwargs: Forwarded to the solver (e.g. ``parallel=…``,
+            ``assume_sorted=…`` for the quasiseparable solver).
+    """
+
+    num_data: int = static_field()
+    dtype: Any = static_field()
+    kernel: kernels.Kernel
+    X: JAXArray
+    mean_function: means.MeanBase
+    mean: JAXArray
+    noise: Noise
+    solver: Solver
+
+    def __init__(
+        self,
+        kernel: kernels.Kernel,
+        X: JAXArray,
+        *,
+        diag: JAXArray | None = None,
+        noise: Noise | None = None,
+        mean: means.MeanBase | Callable[[JAXArray], JAXArray] | JAXArray | None = None,
+        solver: Any | None = None,
+        mean_value: JAXArray | None = None,
+        covariance_value: Any | None = None,
+        **solver_kwargs: Any,
+    ):
+        # Deferred imports to avoid a cycle through the solver stack.
+        from tinygp_tpu.kernels.quasisep import Quasisep
+        from tinygp_tpu.solvers.direct import DirectSolver
+        from tinygp_tpu.solvers.quasisep.core import SymmQSM
+        from tinygp_tpu.solvers.quasisep.solver import QuasisepSolver
+
+        if isinstance(mean, means.MeanBase):
+            mean_function: means.MeanBase = mean
+        elif mean is None:
+            mean_function = means.Mean(jnp.zeros(()))
+        else:
+            mean_function = means.Mean(mean)
+        if mean_value is None:
+            mean_value = jax.vmap(mean_function)(X)
+        if jnp.ndim(mean_value) != 1:
+            raise ValueError(
+                "Invalid mean shape: expected ndim = 1, got "
+                f"ndim={jnp.ndim(mean_value)}"
+            )
+
+        if noise is None:
+            diag = _default_diag(mean_value) if diag is None else diag
+            noise = Diagonal(diag=jnp.broadcast_to(diag, mean_value.shape))
+
+        if solver is None:
+            if isinstance(covariance_value, SymmQSM) or isinstance(kernel, Quasisep):
+                solver = QuasisepSolver
+            else:
+                solver = DirectSolver
+
+        self._init(
+            num_data=mean_value.shape[0],
+            dtype=mean_value.dtype,
+            kernel=kernel,
+            X=X,
+            mean_function=mean_function,
+            mean=mean_value,
+            noise=noise,
+            solver=solver(
+                kernel, X, noise, covariance=covariance_value, **solver_kwargs
+            ),
+        )
+
+    @property
+    def loc(self) -> JAXArray:
+        return self.mean
+
+    @property
+    def variance(self) -> JAXArray:
+        return self.solver.variance()
+
+    @property
+    def covariance(self) -> JAXArray:
+        return self.solver.covariance()
+
+    def log_probability(self, y: JAXArray) -> JAXArray:
+        """The marginal log probability of ``y`` under this process.
+
+        Non-finite results (e.g. from an indefinite covariance) are mapped to
+        ``-inf`` so samplers reject rather than propagate NaNs.
+        """
+        return self._compute_log_prob(self._get_alpha(y))
+
+    def condition(
+        self,
+        y: JAXArray,
+        X_test: JAXArray | None = None,
+        *,
+        diag: JAXArray | None = None,
+        noise: Noise | None = None,
+        include_mean: bool = True,
+        kernel: kernels.Kernel | None = None,
+    ) -> ConditionResult:
+        """Condition on data, returning the posterior process at ``X_test``.
+
+        Args:
+            y: Observed values, shape ``(N_data,)``.
+            X_test: Prediction coordinates (defaults to the training inputs).
+            diag / noise: Observation noise for the *predicted* process.
+            include_mean: Include the prior mean in the posterior mean.
+            kernel: Optionally, a different cross-covariance kernel (e.g. one
+                component of a mixture).
+
+        Returns:
+            A :class:`ConditionResult` with the marginal ``log_probability``
+            and the conditioned ``gp``.
+        """
+        if X_test is not None:
+            shapes_ok = jax.tree_util.tree_map(
+                lambda a, b: jnp.ndim(a) == jnp.ndim(b)
+                and jnp.shape(a)[1:] == jnp.shape(b)[1:],
+                self.X,
+                X_test,
+            )
+            if not jax.tree_util.tree_reduce(lambda a, b: a and b, shapes_ok):
+                raise ValueError(
+                    "`X_test` must have the same tree structure as the input "
+                    "`X`, and all but the leading dimension must have "
+                    "matching sizes"
+                )
+
+        alpha, log_prob, mean_value = self._condition(y, X_test, include_mean, kernel)
+        if kernel is None:
+            kernel = self.kernel
+
+        if noise is None:
+            diag = _default_diag(mean_value) if diag is None else diag
+            noise = Diagonal(diag=jnp.broadcast_to(diag, mean_value.shape))
+
+        covariance_value = self.solver.condition(kernel, X_test, noise)
+        if X_test is None:
+            X_test = self.X
+
+        gp = GaussianProcess(
+            kernels.Conditioned(self.X, self.solver, kernel),
+            X_test,
+            noise=noise,
+            mean=means.Conditioned(
+                self.X,
+                alpha,
+                kernel,
+                include_mean=include_mean,
+                mean_function=self.mean_function,
+            ),
+            mean_value=mean_value,
+            covariance_value=covariance_value,
+        )
+        return ConditionResult(log_prob, gp)
+
+    @partial(jax.jit, static_argnames=("include_mean", "return_var", "return_cov"))
+    def predict(
+        self,
+        y: JAXArray,
+        X_test: JAXArray | None = None,
+        *,
+        kernel: kernels.Kernel | None = None,
+        include_mean: bool = True,
+        return_var: bool = False,
+        return_cov: bool = False,
+    ) -> JAXArray | tuple[JAXArray, JAXArray]:
+        """Posterior mean (and optionally variance/covariance) at ``X_test``."""
+        _, cond = self.condition(y, X_test, kernel=kernel, include_mean=include_mean)
+        if return_var:
+            return cond.loc, cond.variance
+        if return_cov:
+            return cond.loc, cond.covariance
+        return cond.loc
+
+    def sample(
+        self,
+        key: jax.Array,
+        shape: Sequence[int] | None = None,
+    ) -> JAXArray:
+        """Draw realizations; returns shape ``shape + (N_data,)``."""
+        return self._sample(key, None if shape is None else tuple(shape))
+
+    def numpyro_dist(self, **kwargs: Any) -> TinyDistribution:
+        """This process as a numpyro distribution (requires numpyro)."""
+        from tinygp_tpu.numpyro_support import TinyDistribution
+
+        return TinyDistribution(self, **kwargs)
+
+    @partial(jax.jit, static_argnums=(2,))
+    def _sample(
+        self,
+        key: jax.Array,
+        shape: tuple[int, ...] | None,
+    ) -> JAXArray:
+        if shape is None:
+            full_shape: tuple[int, ...] = (self.num_data,)
+        else:
+            full_shape = (self.num_data,) + shape
+        eps = jax.random.normal(key, shape=full_shape, dtype=self.dtype)
+        return self.mean + jnp.moveaxis(self.solver.dot_triangular(eps), 0, -1)
+
+    @jax.jit
+    def _compute_log_prob(self, alpha: JAXArray) -> JAXArray:
+        loglike = -0.5 * jnp.sum(jnp.square(alpha)) - self.solver.normalization()
+        return jnp.where(jnp.isfinite(loglike), loglike, -jnp.inf)
+
+    @jax.jit
+    def _get_alpha(self, y: JAXArray) -> JAXArray:
+        return self.solver.solve_triangular(y - self.loc)
+
+    @partial(jax.jit, static_argnums=(3,))
+    def _condition(
+        self,
+        y: JAXArray,
+        X_test: JAXArray | None,
+        include_mean: bool,
+        kernel: kernels.Kernel | None = None,
+    ) -> tuple[JAXArray, JAXArray, JAXArray]:
+        alpha = self._get_alpha(y)
+        log_prob = self._compute_log_prob(alpha)
+
+        # Upgrade alpha from L^{-1}(y - mu) to K^{-1}(y - mu).
+        alpha = self.solver.solve_triangular(alpha, transpose=True)
+
+        if X_test is None:
+            X_test = self.X
+            if kernel is None:
+                # Same-points fast path: K alpha = (y - mu) - noise @ alpha.
+                mean_value = y - (self.noise @ alpha)
+                if not include_mean:
+                    mean_value = mean_value - self.loc
+            else:
+                mean_value = kernel.matmul(self.X, y=alpha)
+                if include_mean:
+                    mean_value = mean_value + self.loc
+        else:
+            if kernel is None:
+                kernel = self.kernel
+            mean_value = kernel.matmul(X_test, self.X, alpha)
+            if include_mean:
+                mean_value = mean_value + jax.vmap(self.mean_function)(X_test)
+
+        return alpha, log_prob, mean_value
+
+
+class ConditionResult(NamedTuple):
+    """The result of conditioning a :class:`GaussianProcess` on data."""
+
+    log_probability: JAXArray
+    """The marginal log likelihood of the observed data."""
+
+    gp: GaussianProcess
+    """The conditional process evaluated at the test points."""
+
+
+def _default_diag(reference: JAXArray) -> JAXArray:
+    """sqrt(eps) jitter for the active dtype — enough to stabilize most
+    Cholesky factorizations without visibly perturbing the model."""
+    return jnp.sqrt(jnp.finfo(jnp.result_type(reference)).eps)

@@ -1,0 +1,246 @@
+"""Kernel base class and composition algebra.
+
+API parity target: ``/root/reference/src/tinygp/kernels/base.py:30-249``
+(``Kernel`` ABC with pointwise ``evaluate`` lifted by ``vmap``, operator
+overloads building ``Sum``/``Product``/``Constant`` trees, the conditioned
+predictive kernel, and the ``DotProduct``/``Polynomial`` kernels).
+
+TPU-first note: the pointwise-``evaluate`` contract is kept because it is the
+extension point users write custom kernels against, but matrix construction
+is routed through :meth:`Kernel.gram`, an overridable batched hook. The
+default lifts ``evaluate`` with nested ``vmap`` (XLA fuses this into a single
+elementwise loop over an N×M grid); the dense solver can swap in a
+Pallas-tiled builder for the hot O(N²) construction without touching kernel
+definitions.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "Kernel",
+    "Conditioned",
+    "Custom",
+    "Sum",
+    "Product",
+    "Constant",
+    "DotProduct",
+    "Polynomial",
+]
+
+from collections.abc import Callable, Sequence
+from typing import TYPE_CHECKING, Any
+
+import jax
+import jax.numpy as jnp
+
+from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.utils.module import Module, field, static_field
+
+if TYPE_CHECKING:
+    from tinygp_tpu.solvers.solver import Solver
+
+Axis = int | Sequence[int]
+
+
+class Kernel(Module):
+    """The base class for all kernel implementations.
+
+    Subclasses take parameters in their constructor and override
+    :meth:`evaluate`, which receives a *single pair* of input points (scalars
+    or ``(n_dim,)`` arrays). All batching/broadcasting over datasets is
+    handled here via ``vmap``.
+    """
+
+    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        """Evaluate the kernel at a single pair of inputs."""
+        del X1, X2
+        raise NotImplementedError
+
+    def evaluate_diag(self, X: JAXArray) -> JAXArray:
+        """Evaluate the kernel variance at a single input.
+
+        Defaults to ``evaluate(X, X)``; subclasses can specialize.
+        """
+        return self.evaluate(X, X)
+
+    def gram(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        """Build the full cross-covariance matrix ``K[i, j] = k(X1[i], X2[j])``.
+
+        This is the batched construction hook. The default implementation
+        lifts the pointwise :meth:`evaluate` with nested ``vmap``; subclasses
+        and solvers may override/bypass with hardware-tiled builders.
+        """
+        return jax.vmap(
+            jax.vmap(self.evaluate, in_axes=(None, 0)), in_axes=(0, None)
+        )(X1, X2)
+
+    def diag(self, X: JAXArray) -> JAXArray:
+        """Evaluate the kernel diagonal over a dataset."""
+        return jax.vmap(self.evaluate_diag)(X)
+
+    def matmul(
+        self,
+        X1: JAXArray,
+        X2: JAXArray | None = None,
+        y: JAXArray | None = None,
+    ) -> JAXArray:
+        """Compute ``K(X1, X2) @ y`` (densely, by default)."""
+        if y is None:
+            assert X2 is not None
+            X2, y = None, X2
+        if X2 is None:
+            X2 = X1
+        return jnp.dot(self(X1, X2), y)
+
+    def __call__(self, X1: JAXArray, X2: JAXArray | None = None) -> JAXArray:
+        if X2 is None:
+            k = self.diag(X1)
+            if k.ndim != 1:
+                raise ValueError(
+                    "Invalid kernel diagonal shape: expected ndim = 1, got "
+                    f"ndim={k.ndim}; check the dimensions of parameters and "
+                    "custom kernels"
+                )
+            return k
+        k = self.gram(X1, X2)
+        if k.ndim != 2:
+            raise ValueError(
+                "Invalid kernel shape: expected ndim = 2, got "
+                f"ndim={k.ndim}; check the dimensions of parameters and "
+                "custom kernels"
+            )
+        return k
+
+    # -- composition algebra ------------------------------------------------
+    def __add__(self, other: Kernel | JAXArray) -> Kernel:
+        if isinstance(other, Kernel):
+            return Sum(self, other)
+        return Sum(self, Constant(other))
+
+    def __radd__(self, other: Any) -> Kernel:
+        if other == 0:  # support builtin sum()
+            return self
+        if isinstance(other, Kernel):
+            return Sum(other, self)
+        return Sum(Constant(other), self)
+
+    def __mul__(self, other: Kernel | JAXArray) -> Kernel:
+        if isinstance(other, Kernel):
+            return Product(self, other)
+        return Product(self, Constant(other))
+
+    def __rmul__(self, other: Any) -> Kernel:
+        if isinstance(other, Kernel):
+            return Product(other, self)
+        return Product(Constant(other), self)
+
+
+class Conditioned(Kernel):
+    """The predictive kernel of a process conditioned on data.
+
+    ``k_cond(a, b) = k(a, b) - k(X, a)^T K^{-1} k(X, b)`` computed through two
+    triangular solves against the training factorization (reference behavior:
+    ``kernels/base.py:129-153``).
+    """
+
+    X: JAXArray
+    solver: Solver
+    kernel: Kernel
+
+    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        k_vec = jax.vmap(self.kernel.evaluate, in_axes=(0, None))
+        A1 = self.solver.solve_triangular(k_vec(self.X, X1))
+        A2 = self.solver.solve_triangular(k_vec(self.X, X2))
+        return self.kernel.evaluate(X1, X2) - A1.T @ A2
+
+    def evaluate_diag(self, X: JAXArray) -> JAXArray:
+        k_vec = jax.vmap(self.kernel.evaluate, in_axes=(0, None))
+        A = self.solver.solve_triangular(k_vec(self.X, X))
+        return self.kernel.evaluate_diag(X) - A.T @ A
+
+
+class Custom(Kernel):
+    """Wrap a plain callable with an ``evaluate``-like signature as a kernel."""
+
+    function: Callable[[Any, Any], Any] = static_field()
+
+    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        return self.function(X1, X2)
+
+
+class Sum(Kernel):
+    """The sum of two kernels."""
+
+    kernel1: Kernel
+    kernel2: Kernel
+
+    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        return self.kernel1.evaluate(X1, X2) + self.kernel2.evaluate(X1, X2)
+
+    def gram(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        # Summing full matrices keeps each operand's batched fast path.
+        return self.kernel1.gram(X1, X2) + self.kernel2.gram(X1, X2)
+
+
+class Product(Kernel):
+    """The elementwise product of two kernels."""
+
+    kernel1: Kernel
+    kernel2: Kernel
+
+    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        return self.kernel1.evaluate(X1, X2) * self.kernel2.evaluate(X1, X2)
+
+    def gram(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        return self.kernel1.gram(X1, X2) * self.kernel2.gram(X1, X2)
+
+
+class Constant(Kernel):
+    r"""A constant kernel: :math:`k(x_i, x_j) = c`."""
+
+    value: JAXArray | float
+
+    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        del X1, X2
+        if jnp.ndim(self.value) != 0:
+            raise ValueError("The value of a constant kernel must be a scalar")
+        return jnp.asarray(self.value)
+
+
+class DotProduct(Kernel):
+    r"""The dot-product kernel :math:`k(x_i, x_j) = x_i \cdot x_j`."""
+
+    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        if jnp.ndim(X1) == 0:
+            return X1 * X2
+        return X1 @ X2
+
+    def gram(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        # A single MXU matmul instead of N*M dot products.
+        X1 = jnp.asarray(X1)
+        X2 = jnp.asarray(X2)
+        if X1.ndim == 1:
+            return jnp.outer(X1, X2)
+        return jnp.matmul(X1, X2.T, preferred_element_type=X1.dtype)
+
+
+class Polynomial(Kernel):
+    r"""A polynomial kernel.
+
+    .. math::
+
+        k(x_i, x_j) = [(x_i / \ell) \cdot (x_j / \ell) + \sigma^2]^P
+
+    Args:
+        order: The power :math:`P`.
+        scale: The parameter :math:`\ell`.
+        sigma: The parameter :math:`\sigma`.
+    """
+
+    order: JAXArray | float
+    scale: JAXArray | float = field(default_factory=lambda: jnp.ones(()))
+    sigma: JAXArray | float = field(default_factory=lambda: jnp.zeros(()))
+
+    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        base = (X1 / self.scale) @ (X2 / self.scale) + jnp.square(self.sigma)
+        return base**self.order

@@ -1,0 +1,838 @@
+"""Scalable state-space (quasiseparable) kernels.
+
+Behavioral parity: ``/root/reference/src/tinygp/kernels/quasisep.py`` — the
+celerite capability. A kernel here is specified as a continuous-time linear
+stochastic differential equation through four ingredients:
+
+- ``design_matrix``   F : the SDE drift,
+- ``stationary_covariance`` Pinf : the state's stationary covariance,
+- ``observation_model`` h(X) : the projection from state to observation,
+- ``transition_matrix``(X1, X2) : the *adjoint* propagator ``expm(F^T dt)``.
+
+The quasiseparable generators follow directly: ``q = h @ Pinf``,
+``p = h @ a^T``, ``a = A^T`` (A the adjoint propagator), and the diagonal is
+``h Pinf h^T``.
+
+TPU-first notes: the :class:`SHO` propagator is written branch-free
+(guarded ``where`` selects instead of nested ``lax.cond``) so it vectorizes
+cleanly under ``vmap``/``pjit`` and keeps reverse-mode gradients NaN-free at
+the critical damping boundary.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "Quasisep",
+    "Wrapper",
+    "Sum",
+    "Product",
+    "Scale",
+    "Celerite",
+    "SHO",
+    "Exp",
+    "Matern32",
+    "Matern52",
+    "Cosine",
+    "CARMA",
+]
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.linalg import block_diag as dense_block_diag
+
+from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.kernels.base import Kernel
+from tinygp_tpu.solvers.quasisep.block import Block, ensure_dense
+from tinygp_tpu.solvers.quasisep.core import (
+    DiagQSM,
+    StrictLowerTriQSM,
+    SymmQSM,
+)
+from tinygp_tpu.solvers.quasisep.general import GeneralQSM
+from tinygp_tpu.utils.module import field, static_field
+
+
+def _mT(matrix: JAXArray) -> JAXArray:
+    """Transpose the trailing matrix dims, Block-aware."""
+    if isinstance(matrix, Block):
+        return matrix.mT
+    return jnp.swapaxes(matrix, -1, -2)
+
+
+class Quasisep(Kernel):
+    """Base class for all quasiseparable kernels.
+
+    Subclasses implement the state-space quadruple documented in the module
+    docstring. All quasiseparable machinery (QSM construction, O(N) matvecs,
+    pointwise evaluation) is derived here.
+    """
+
+    def design_matrix(self) -> JAXArray:
+        """The SDE design (drift) matrix F."""
+        raise NotImplementedError
+
+    def stationary_covariance(self) -> JAXArray:
+        """The stationary state covariance Pinf."""
+        raise NotImplementedError
+
+    def observation_model(self, X: JAXArray) -> JAXArray:
+        """The observation vector h at one coordinate."""
+        raise NotImplementedError
+
+    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        """The adjoint propagator: if means propagate as ``m2 = F @ m1``,
+        return ``F.T`` (i.e. ``expm(design_matrix().T * dt)``)."""
+        raise NotImplementedError
+
+    def coord_to_sortable(self, X: JAXArray) -> JAXArray:
+        """Map a (possibly structured) coordinate to a sortable scalar."""
+        return X
+
+    def to_symm_qsm(self, X: JAXArray) -> SymmQSM:
+        """The symmetric quasiseparable representation of ``K(X, X)``."""
+        Pinf = self.stationary_covariance()
+        X_prev = jax.tree_util.tree_map(
+            lambda x: jnp.append(x[0], x[:-1]), X
+        )
+        a = _mT(jax.vmap(self.transition_matrix)(X_prev, X))
+        h = jax.vmap(self.observation_model)(X)
+        q = h @ Pinf  # Pinf symmetric: also the forward generator
+        d = jnp.sum(q * h, axis=1)
+        p = jax.vmap(lambda hk, ak: hk @ ak)(h, a)
+        return SymmQSM(
+            diag=DiagQSM(d=d), lower=StrictLowerTriQSM(p=p, q=q, a=a)
+        )
+
+    def to_general_qsm(self, X1: JAXArray, X2: JAXArray) -> GeneralQSM:
+        """The rectangular representation of ``K(X1, X2)``."""
+        sortable = jax.vmap(self.coord_to_sortable)
+        idx = jnp.searchsorted(sortable(X2), sortable(X1), side="right") - 1
+
+        X2_prev = jax.tree_util.tree_map(
+            lambda x: jnp.append(x[0], x[:-1]), X2
+        )
+        Pinf = self.stationary_covariance()
+        a = _mT(jax.vmap(self.transition_matrix)(X2_prev, X2))
+        h1 = jax.vmap(self.observation_model)(X1)
+        h2 = jax.vmap(self.observation_model)(X2)
+
+        ql = h2 @ _mT(Pinf)
+        qu = h1 @ Pinf
+        n2 = jax.tree_util.tree_leaves(X2)[0].shape[0]
+
+        # Propagate each row's generator to/from its anchor column.
+        anchor = jnp.clip(idx, 0, n2 - 1)
+        X_anchor = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x)[anchor], X2
+        )
+        trans_past = jax.vmap(self.transition_matrix)(X_anchor, X1)
+        pl = jax.vmap(lambda hk, tk: hk @ tk.T)(h1, trans_past)
+
+        anchor = jnp.clip(idx + 1, 0, n2 - 1)
+        X_anchor = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x)[anchor], X2
+        )
+        trans_future = jax.vmap(self.transition_matrix)(X1, X_anchor)
+        qu = jax.vmap(lambda gk, tk: gk @ tk)(qu, trans_future)
+
+        return GeneralQSM(pl=pl, ql=ql, pu=h2, qu=qu, a=a, idx=idx)
+
+    def matmul(
+        self,
+        X1: JAXArray,
+        X2: JAXArray | None = None,
+        y: JAXArray | None = None,
+    ) -> JAXArray:
+        """O(N) matvec through the quasiseparable representation."""
+        if y is None:
+            assert X2 is not None
+            X2, y = None, X2
+        if X2 is None:
+            return self.to_symm_qsm(X1) @ y
+        return self.to_general_qsm(X1, X2) @ y
+
+    # -- algebra (closed within the quasisep family) ------------------------
+    def __add__(self, other: Kernel | JAXArray) -> Kernel:
+        if not isinstance(other, Quasisep):
+            raise ValueError(
+                "Quasisep kernels can only be added to other Quasisep kernels"
+            )
+        return Sum(self, other)
+
+    def __radd__(self, other: Any) -> Kernel:
+        if other == 0:  # support builtin sum()
+            return self
+        if not isinstance(other, Quasisep):
+            raise ValueError(
+                "Quasisep kernels can only be added to other Quasisep kernels"
+            )
+        return Sum(other, self)
+
+    def __mul__(self, other: Kernel | JAXArray) -> Kernel:
+        if isinstance(other, Quasisep):
+            return Product(self, other)
+        if isinstance(other, Kernel) or jnp.ndim(other) != 0:
+            raise ValueError(
+                "Quasisep kernels can only be multiplied by scalars and "
+                "other Quasisep kernels"
+            )
+        return Scale(kernel=self, scale=other)
+
+    def __rmul__(self, other: Any) -> Kernel:
+        if isinstance(other, Quasisep):
+            return Product(other, self)
+        if isinstance(other, Kernel) or jnp.ndim(other) != 0:
+            raise ValueError(
+                "Quasisep kernels can only be multiplied by scalars and "
+                "other Quasisep kernels"
+            )
+        return Scale(kernel=self, scale=other)
+
+    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        """Pointwise evaluation via the state-space representation.
+
+        Branches on time order, so non-reversible (causal) processes are
+        handled correctly.
+        """
+        Pinf = ensure_dense(self.stationary_covariance())
+        h1 = self.observation_model(X1)
+        h2 = self.observation_model(X2)
+        t1 = self.coord_to_sortable(X1)
+        t2 = self.coord_to_sortable(X2)
+        fwd = h2 @ ensure_dense(self.transition_matrix(X1, X2)).T @ Pinf @ h1
+        bwd = h1 @ ensure_dense(self.transition_matrix(X2, X1)).T @ Pinf @ h2
+        return jnp.where(t1 < t2, fwd, bwd)
+
+    def evaluate_diag(self, X: JAXArray) -> JAXArray:
+        h = self.observation_model(X)
+        return h @ ensure_dense(self.stationary_covariance()) @ h
+
+
+class Wrapper(Quasisep):
+    """Base class for kernels that delegate to a wrapped quasisep kernel."""
+
+    kernel: Quasisep
+
+    def coord_to_sortable(self, X: JAXArray) -> JAXArray:
+        return self.kernel.coord_to_sortable(X)
+
+    def design_matrix(self) -> JAXArray:
+        return self.kernel.design_matrix()
+
+    def stationary_covariance(self) -> JAXArray:
+        return self.kernel.stationary_covariance()
+
+    def observation_model(self, X: JAXArray) -> JAXArray:
+        return self.kernel.observation_model(self.coord_to_sortable(X))
+
+    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        return self.kernel.transition_matrix(
+            self.coord_to_sortable(X1), self.coord_to_sortable(X2)
+        )
+
+
+class Sum(Quasisep):
+    """The sum of two quasisep kernels: states concatenate block-diagonally.
+
+    Args:
+        kernel1, kernel2: The operands.
+        use_block: Keep the block structure lazy (default) to avoid paying
+            dense m×m transition cost; set ``False`` for dense
+            ``block_diag`` when composing with operations that require dense
+            transitions (e.g. products, banded noise).
+    """
+
+    kernel1: Quasisep
+    kernel2: Quasisep
+    use_block: bool = static_field(default=True)
+
+    def coord_to_sortable(self, X: JAXArray) -> JAXArray:
+        # Both operands are assumed to share coordinates.
+        return self.kernel1.coord_to_sortable(X)
+
+    def _combine(self, m1: JAXArray, m2: JAXArray) -> JAXArray:
+        if not self.use_block:
+            return dense_block_diag(ensure_dense(m1), ensure_dense(m2))
+        # Flatten nested Blocks so sums of sums stay a single-level Block.
+        blocks1 = m1.blocks if isinstance(m1, Block) else (m1,)
+        blocks2 = m2.blocks if isinstance(m2, Block) else (m2,)
+        return Block(*blocks1, *blocks2)
+
+    def design_matrix(self) -> JAXArray:
+        return self._combine(
+            self.kernel1.design_matrix(), self.kernel2.design_matrix()
+        )
+
+    def stationary_covariance(self) -> JAXArray:
+        return self._combine(
+            self.kernel1.stationary_covariance(),
+            self.kernel2.stationary_covariance(),
+        )
+
+    def observation_model(self, X: JAXArray) -> JAXArray:
+        return jnp.concatenate(
+            (
+                self.kernel1.observation_model(X),
+                self.kernel2.observation_model(X),
+            )
+        )
+
+    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        return self._combine(
+            self.kernel1.transition_matrix(X1, X2),
+            self.kernel2.transition_matrix(X1, X2),
+        )
+
+
+def _kron(m1: JAXArray, m2: JAXArray) -> JAXArray:
+    """Kronecker combination for products of state-space models."""
+    m1 = ensure_dense(m1)
+    m2 = ensure_dense(m2)
+    if m1.ndim == 1:
+        return jnp.reshape(m1[:, None] * m2[None, :], (-1,))
+    if m1.ndim == 2:
+        return jnp.kron(m1, m2)
+    raise NotImplementedError
+
+
+class Product(Quasisep):
+    """The product of two quasisep kernels: states combine as Kroneckers."""
+
+    kernel1: Quasisep
+    kernel2: Quasisep
+
+    def coord_to_sortable(self, X: JAXArray) -> JAXArray:
+        return self.kernel1.coord_to_sortable(X)
+
+    def design_matrix(self) -> JAXArray:
+        F1 = ensure_dense(self.kernel1.design_matrix())
+        F2 = ensure_dense(self.kernel2.design_matrix())
+        return _kron(F1, jnp.eye(F2.shape[0])) + _kron(jnp.eye(F1.shape[0]), F2)
+
+    def stationary_covariance(self) -> JAXArray:
+        return _kron(
+            self.kernel1.stationary_covariance(),
+            self.kernel2.stationary_covariance(),
+        )
+
+    def observation_model(self, X: JAXArray) -> JAXArray:
+        return _kron(
+            self.kernel1.observation_model(X),
+            self.kernel2.observation_model(X),
+        )
+
+    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        return _kron(
+            self.kernel1.transition_matrix(X1, X2),
+            self.kernel2.transition_matrix(X1, X2),
+        )
+
+
+class Scale(Wrapper):
+    """A scalar multiple of a quasisep kernel (scales Pinf)."""
+
+    scale: JAXArray | float
+
+    def stationary_covariance(self) -> JAXArray:
+        return self.scale * self.kernel.stationary_covariance()
+
+
+class Celerite(Quasisep):
+    r"""The classic celerite term (Foreman-Mackey et al. 2017):
+
+    .. math::
+
+        k(\tau) = \exp(-c\tau) [a \cos(d\tau) + b \sin(d\tau)]
+
+    Positive definiteness requires ``a*c - b*d > 0`` (NaNs otherwise).
+    """
+
+    a: JAXArray | float
+    b: JAXArray | float
+    c: JAXArray | float
+    d: JAXArray | float
+
+    def design_matrix(self) -> JAXArray:
+        return jnp.array([[-self.c, -self.d], [self.d, -self.c]])
+
+    def stationary_covariance(self) -> JAXArray:
+        ratio = self.c / self.d
+        return jnp.array(
+            [[1.0, -ratio], [-ratio, 1.0 + 2.0 * jnp.square(ratio)]]
+        )
+
+    def observation_model(self, X: JAXArray) -> JAXArray:
+        del X
+        # Solve for the observation vector whose induced kernel matches the
+        # (a, b, c, d) parameterization against this Pinf.
+        a, b, c, d = self.a, self.b, self.c, self.d
+        c2 = jnp.square(c)
+        d2 = jnp.square(d)
+        s2 = c2 + d2
+        h2_2 = d2 * (a * c - b * d) / (2.0 * c * s2)
+        h2 = jnp.sqrt(h2_2)
+        h1 = (c * h2 - jnp.sqrt(a * d2 - s2 * h2_2)) / d
+        return jnp.array([h1, h2])
+
+    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        dt = X2 - X1
+        cos = jnp.cos(self.d * dt)
+        sin = jnp.sin(self.d * dt)
+        return jnp.exp(-self.c * dt) * jnp.array([[cos, sin], [-sin, cos]])
+
+
+class SHO(Quasisep):
+    r"""The stochastically driven damped simple harmonic oscillator.
+
+    .. math::
+
+        k(\tau) = \sigma^2 \exp(-\omega\tau/2Q) \times
+        \begin{cases}
+          1 + \omega\tau & Q = 1/2 \\
+          \cosh(f\omega\tau/2Q) + \sinh(f\omega\tau/2Q)/f & Q < 1/2 \\
+          \cos(g\omega\tau/2Q) + \sin(g\omega\tau/2Q)/g   & Q > 1/2
+        \end{cases}
+
+    with :math:`f = \sqrt{1-4Q^2}`, :math:`g = \sqrt{4Q^2-1}`.
+
+    The propagator is implemented branch-free: both damped regimes are
+    evaluated with guarded operands and combined with ``where`` selects, so
+    the kernel vectorizes under ``vmap`` and keeps gradients finite at the
+    critical point (the reference uses nested ``lax.cond``,
+    ``quasisep.py:483-488``).
+
+    Args:
+        omega: The undamped frequency :math:`\omega`.
+        quality: The quality factor :math:`Q`.
+        sigma: The amplitude :math:`\sigma` (default 1).
+    """
+
+    omega: JAXArray | float
+    quality: JAXArray | float
+    sigma: JAXArray | float = field(default_factory=lambda: jnp.ones(()))
+
+    _CRITICAL_TOL = 1e-5
+
+    def design_matrix(self) -> JAXArray:
+        return jnp.array(
+            [[0.0, 1.0], [-jnp.square(self.omega), -self.omega / self.quality]]
+        )
+
+    def stationary_covariance(self) -> JAXArray:
+        return jnp.diag(jnp.array([1.0, jnp.square(self.omega)]))
+
+    def observation_model(self, X: JAXArray) -> JAXArray:
+        del X
+        return jnp.array([self.sigma, 0.0])
+
+    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        dt = X2 - X1
+        w = self.omega
+        q = self.quality
+        disc = 4.0 * jnp.square(q) - 1.0
+        near_critical = jnp.abs(disc) < self._CRITICAL_TOL
+
+        # Critical damping: polynomial-times-exponential propagator.
+        crit = jnp.exp(-w * dt) * jnp.array(
+            [[1.0 + w * dt, -jnp.square(w) * dt], [dt, 1.0 - w * dt]]
+        )
+
+        # Oscillatory / overdamped regimes share the same algebraic shape
+        # with (sin, cos) <-> (sinh, cosh); guard the sqrt and divisions so
+        # the unselected branch stays finite (and differentiable).
+        safe = jnp.maximum(jnp.abs(disc), self._CRITICAL_TOL)
+        f = jnp.sqrt(safe)
+        arg = 0.5 * f * w * dt / q
+        damp = jnp.exp(-0.5 * w * dt / q)
+
+        def regime(s, c):
+            return damp * jnp.array(
+                [
+                    [c + s / f, -2.0 * q * w * s / f],
+                    [2.0 * q * s / (w * f), c - s / f],
+                ]
+            )
+
+        under = regime(jnp.sin(arg), jnp.cos(arg))
+        over = regime(jnp.sinh(arg), jnp.cosh(arg))
+
+        out = jnp.where(disc > 0.0, under, over)
+        return jnp.where(near_critical, crit, out)
+
+
+class Exp(Quasisep):
+    r"""O(N) exponential kernel :math:`k(\tau)=\sigma^2\exp(-\tau/\ell)`.
+
+    Args:
+        scale: The length scale :math:`\ell`.
+        sigma: The amplitude :math:`\sigma` (default 1).
+    """
+
+    scale: JAXArray | float
+    sigma: JAXArray | float = field(default_factory=lambda: jnp.ones(()))
+
+    def design_matrix(self) -> JAXArray:
+        return jnp.array([[-1.0 / self.scale]])
+
+    def stationary_covariance(self) -> JAXArray:
+        return jnp.ones((1, 1))
+
+    def observation_model(self, X: JAXArray) -> JAXArray:
+        del X
+        return jnp.array([self.sigma])
+
+    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        dt = X2 - X1
+        return jnp.exp(-dt[None, None] / self.scale)
+
+
+class Matern32(Quasisep):
+    r"""O(N) Matern-3/2: :math:`k(\tau)=\sigma^2(1+f\tau)\exp(-f\tau)`,
+    :math:`f=\sqrt{3}/\ell`.
+
+    Args:
+        scale: The length scale :math:`\ell`.
+        sigma: The amplitude :math:`\sigma` (default 1).
+    """
+
+    scale: JAXArray | float
+    sigma: JAXArray | float = field(default_factory=lambda: jnp.ones(()))
+
+    def design_matrix(self) -> JAXArray:
+        f = np.sqrt(3.0) / self.scale
+        return jnp.array([[0.0, 1.0], [-jnp.square(f), -2.0 * f]])
+
+    def stationary_covariance(self) -> JAXArray:
+        return jnp.diag(jnp.array([1.0, 3.0 / jnp.square(self.scale)]))
+
+    def observation_model(self, X: JAXArray) -> JAXArray:
+        del X
+        return jnp.array([self.sigma, 0.0])
+
+    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        dt = X2 - X1
+        f = np.sqrt(3.0) / self.scale
+        return jnp.exp(-f * dt) * jnp.array(
+            [[1.0 + f * dt, -jnp.square(f) * dt], [dt, 1.0 - f * dt]]
+        )
+
+
+class Matern52(Quasisep):
+    r"""O(N) Matern-5/2: :math:`k(\tau)=\sigma^2(1+f\tau+f^2\tau^2/3)
+    \exp(-f\tau)`, :math:`f=\sqrt{5}/\ell`.
+
+    Args:
+        scale: The length scale :math:`\ell`.
+        sigma: The amplitude :math:`\sigma` (default 1).
+    """
+
+    scale: JAXArray | float
+    sigma: JAXArray | float = field(default_factory=lambda: jnp.ones(()))
+
+    def design_matrix(self) -> JAXArray:
+        f = np.sqrt(5.0) / self.scale
+        f2 = jnp.square(f)
+        return jnp.array(
+            [[0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [-f2 * f, -3.0 * f2, -3.0 * f]]
+        )
+
+    def stationary_covariance(self) -> JAXArray:
+        f = np.sqrt(5.0) / self.scale
+        f2 = jnp.square(f)
+        f2o3 = f2 / 3.0
+        return jnp.array(
+            [
+                [1.0, 0.0, -f2o3],
+                [0.0, f2o3, 0.0],
+                [-f2o3, 0.0, jnp.square(f2)],
+            ]
+        )
+
+    def observation_model(self, X: JAXArray) -> JAXArray:
+        del X
+        return jnp.array([self.sigma, 0.0, 0.0])
+
+    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        dt = X2 - X1
+        f = np.sqrt(5.0) / self.scale
+        f2 = jnp.square(f)
+        d2 = jnp.square(dt)
+        return jnp.exp(-f * dt) * jnp.array(
+            [
+                [
+                    0.5 * f2 * d2 + f * dt + 1.0,
+                    -0.5 * f * f2 * d2,
+                    0.5 * f2 * f * dt * (f * dt - 2.0),
+                ],
+                [
+                    dt * (f * dt + 1.0),
+                    -f2 * d2 + f * dt + 1.0,
+                    f2 * dt * (f * dt - 3.0),
+                ],
+                [
+                    0.5 * d2,
+                    0.5 * dt * (2.0 - f * dt),
+                    0.5 * f2 * d2 - 2.0 * f * dt + 1.0,
+                ],
+            ]
+        )
+
+
+class Cosine(Quasisep):
+    r"""O(N) cosine kernel :math:`k(\tau)=\sigma^2\cos(2\pi\tau/\ell)`.
+
+    Args:
+        scale: The period :math:`\ell`.
+        sigma: The amplitude :math:`\sigma` (default 1).
+    """
+
+    scale: JAXArray | float
+    sigma: JAXArray | float = field(default_factory=lambda: jnp.ones(()))
+
+    def design_matrix(self) -> JAXArray:
+        f = 2.0 * np.pi / self.scale
+        return jnp.array([[0.0, -f], [f, 0.0]])
+
+    def stationary_covariance(self) -> JAXArray:
+        return jnp.eye(2)
+
+    def observation_model(self, X: JAXArray) -> JAXArray:
+        del X
+        return jnp.array([self.sigma, 0.0])
+
+    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        dt = X2 - X1
+        f = 2.0 * np.pi / self.scale
+        cos = jnp.cos(f * dt)
+        sin = jnp.sin(f * dt)
+        return jnp.array([[cos, sin], [-sin, cos]])
+
+
+class CARMA(Quasisep):
+    r"""A continuous-time ARMA(p, q) process kernel (Kelly et al. 2014).
+
+    The power spectrum is the ratio of two polynomials in :math:`i\omega`
+    with AR coefficients ``alpha`` (length p, excluding the leading 1) and
+    MA coefficients ``beta`` (length q+1 <= p, with the amplitude absorbed).
+    Internally the autocovariance is decomposed into a mixture of real and
+    complex exponentials; each real root maps to an :class:`Exp`-like state
+    and each conjugate pair to a :class:`Celerite`-like 2-state block, with
+    real/complex masking instead of control flow so everything traces
+    cleanly.
+
+    Stationarity requires all AR roots to have negative real parts — use
+    :meth:`from_quads` for an automatically-stationary parameterization.
+
+    .. note:: Construction computes polynomial roots via an eigensolve,
+        which XLA only supports on CPU; build CARMA kernels host-side (the
+        O(N) solves themselves run fine on TPU).
+    """
+
+    alpha: JAXArray
+    beta: JAXArray
+    sigma: JAXArray
+    arroots: JAXArray
+    acf: JAXArray
+    _real_mask: JAXArray
+    _complex_mask: JAXArray
+    _complex_select: JAXArray
+    obsmodel: JAXArray
+
+    def __init__(self, alpha: Any, beta: Any):
+        sigma = jnp.ones(())
+        alpha = jnp.atleast_1d(jnp.asarray(alpha))
+        beta = jnp.atleast_1d(jnp.asarray(beta))
+        assert alpha.ndim == 1 and beta.ndim == 1
+        assert beta.shape[0] <= alpha.shape[0]
+
+        arroots = carma_roots(jnp.append(alpha, 1.0))
+        acf = carma_acvf(arroots, alpha, beta * sigma)
+
+        # Real roots get a 1-state exponential; each complex-conjugate pair
+        # shares a 2-state rotation block. The *_select mask marks the first
+        # member of each pair (where the off-diagonal couplings live).
+        real_mask = jnp.abs(arroots.imag) < 10 * jnp.finfo(
+            arroots.imag.dtype
+        ).eps
+        complex_mask = ~real_mask
+        pair_rank = jnp.cumsum(complex_mask) * complex_mask
+        complex_select = complex_mask * (pair_rank % 2)
+
+        om_real = jnp.sqrt(jnp.abs(acf.real))
+        a, b = 2.0 * acf.real, 2.0 * acf.imag
+        c, d = -arroots.real, -arroots.imag
+        c2, d2 = jnp.square(c), jnp.square(d)
+        s2 = c2 + d2
+        denom = jnp.where(real_mask, 1.0, 2.0 * c * s2)
+        h2_2 = d2 * (a * c - b * d) / denom
+        h2 = jnp.sqrt(h2_2)
+        denom = jnp.where(real_mask, 1.0, d)
+        h1 = (c * h2 - jnp.sqrt(a * d2 - s2 * h2_2)) / denom
+        om_complex = jnp.array([h1, h2])
+        # Conjugate pairs consume both celerite components; interleave.
+        obsmodel = jnp.where(real_mask, om_real, jnp.ravel(om_complex)[::2])
+
+        self._init(
+            alpha=alpha,
+            beta=beta,
+            sigma=sigma,
+            arroots=arroots,
+            acf=acf,
+            _real_mask=real_mask,
+            _complex_mask=complex_mask,
+            _complex_select=complex_select,
+            obsmodel=obsmodel,
+        )
+
+    @classmethod
+    def init(cls, alpha: JAXArray, beta: JAXArray) -> CARMA:
+        return cls(alpha, beta)
+
+    @classmethod
+    def from_quads(
+        cls,
+        alpha_quads: JAXArray,
+        beta_quads: JAXArray,
+        beta_mult: JAXArray,
+    ) -> CARMA:
+        r"""Construct from quadratic factors of the characteristic polynomials.
+
+        Positive quadratic coefficients guarantee negative-real-part roots,
+        i.e. a stationary process (Kelly et al. 2014, Eq. 30).
+
+        Args:
+            alpha_quads: AR quadratic coefficients, length ``p``.
+            beta_quads: MA quadratic coefficients, length ``q``.
+            beta_mult: Multiplier for the MA polynomial (the highest-order
+                beta).
+        """
+        alpha_quads = jnp.atleast_1d(alpha_quads)
+        beta_quads = jnp.atleast_1d(beta_quads)
+        beta_mult = jnp.atleast_1d(beta_mult)
+        alpha = carma_quads2poly(jnp.append(alpha_quads, jnp.array([1.0])))[:-1]
+        beta = carma_quads2poly(jnp.append(beta_quads, beta_mult))
+        return cls(alpha, beta)
+
+    def design_matrix(self) -> JAXArray:
+        real = jnp.diag(self.arroots.real * self._real_mask)
+        cplx_diag = jnp.diag(self.arroots.real * self._complex_mask)
+        cplx_off = jnp.diag(
+            (self.arroots.imag * self._complex_select)[:-1], k=1
+        )
+        return real + cplx_diag + cplx_off - cplx_off.T
+
+    def stationary_covariance(self) -> JAXArray:
+        p = self.acf.shape[0]
+        sign = jnp.diag(jnp.where(self.acf.real > 0, jnp.ones(p), -jnp.ones(p)))
+        denom = jnp.where(self._real_mask, 1.0, self.arroots.imag)
+        ratio = self.arroots.real / denom
+        second = jnp.diag(
+            2.0
+            * jnp.square(
+                ratio * jnp.roll(self._complex_select, 1) * self._complex_mask
+            )
+        )
+        off = jnp.diag((-ratio * self._complex_select)[:-1], k=1)
+        return sign + second + off + off.T
+
+    def observation_model(self, X: JAXArray) -> JAXArray:
+        del X
+        return self.obsmodel
+
+    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        dt = X2 - X1
+        c = -self.arroots.real
+        d = -self.arroots.imag
+        decay = jnp.exp(-c * dt)
+        real = jnp.diag(decay * self._real_mask)
+        cplx_diag = jnp.diag(decay * jnp.cos(d * dt) * self._complex_mask)
+        cplx_off = jnp.diag(
+            (decay * jnp.sin(d * dt) * self._complex_select)[:-1], k=1
+        )
+        return real + cplx_diag + cplx_off - cplx_off.T
+
+
+@jax.jit
+def carma_roots(poly_coeffs: JAXArray) -> JAXArray:
+    """Sorted roots of a polynomial given low-to-high coefficients."""
+    roots = jnp.roots(poly_coeffs[::-1], strip_zeros=False)
+    return roots[jnp.argsort(roots.real)]
+
+
+@jax.jit
+def carma_quads2poly(quads_coeffs: JAXArray) -> JAXArray:
+    """Expand quadratic factors into a full polynomial (low-to-high).
+
+    The last input entry is the multiplier (the highest-order output
+    coefficient).
+    """
+    size = quads_coeffs.shape[0] - 1
+    remain = size % 2
+    n_pair = size // 2
+    mult = quads_coeffs[-1:]
+
+    poly = jax.lax.cond(
+        remain == 1,
+        lambda x: jnp.array([1.0, x]),
+        lambda _: jnp.array([0.0, 1.0]),
+        quads_coeffs[-2],
+    )
+    poly = poly[-remain + 1 :]
+    for k in range(n_pair):
+        quad = jnp.append(
+            jnp.array([quads_coeffs[2 * k], quads_coeffs[2 * k + 1]]),
+            jnp.ones(1),
+        )
+        poly = jnp.convolve(poly, quad[::-1])
+    return poly[::-1] * mult
+
+
+def carma_poly2quads(poly_coeffs: JAXArray) -> JAXArray:
+    """Factor a polynomial (low-to-high) into quadratic coefficients."""
+    mult = poly_coeffs[-1]
+    roots = carma_roots(poly_coeffs / mult)
+    odd = bool(len(roots) & 1)
+    roots_c = roots[roots.imag != 0]
+    roots_r = roots[roots.imag == 0]
+
+    quads = []
+    for i in range(len(roots_c) // 2):
+        r1, r2 = roots_c[i], roots_c[i + 1]
+        quads.extend([(r1 * r2).real, -(r1.real + r2.real)])
+    for i in range(len(roots_r) // 2):
+        r1, r2 = roots_r[i], roots_r[i + 1]
+        quads.extend([(r1 * r2).real, -(r1.real + r2.real)])
+    if odd:
+        quads.append(-roots_r[-1].real)
+    return jnp.append(jnp.array(quads), mult)
+
+
+def carma_acvf(
+    arroots: JAXArray, arparam: JAXArray, maparam: JAXArray
+) -> JAXArray:
+    r"""Autocovariance coefficients, one per AR root (Kelly+14 Eq. 4)."""
+    arparam = jnp.atleast_1d(arparam)
+    maparam = jnp.atleast_1d(maparam)
+    complex_dtype = jnp.result_type(arparam.dtype, jnp.complex64)
+
+    p = arparam.shape[0]
+    q = maparam.shape[0] - 1
+    sigma = maparam[0]
+    maparam = maparam / sigma
+
+    num_left = jnp.zeros(p, dtype=complex_dtype)
+    num_right = jnp.zeros(p, dtype=complex_dtype)
+    denom = -2.0 * arroots.real + jnp.zeros_like(arroots) * 1j
+    for k in range(q + 1):
+        num_left = num_left + maparam[k] * jnp.power(arroots, k)
+        num_right = num_right + maparam[k] * jnp.power(-arroots, k)
+
+    idx = jnp.arange(p)
+    for j in range(1, p):
+        shifted = arroots[jnp.roll(idx, j)]
+        denom = denom * (shifted - arroots) * (jnp.conj(shifted) + arroots)
+
+    return sigma**2 * num_left * num_right / denom

@@ -1,0 +1,181 @@
+"""Observation-noise models.
+
+API parity: ``/root/reference/src/tinygp/noise.py:27-236`` (``Noise``
+protocol with ``diagonal``/``+``/``@``/``to_qsm``; ``Diagonal``, ``Dense``
+and ``Banded`` concrete models). ``Banded`` is represented as an order-J
+quasiseparable matrix whose transition is a shift register, which is what
+lets the O(N) solver absorb banded noise for free.
+"""
+
+from __future__ import annotations
+
+__all__ = ["Noise", "Diagonal", "Dense", "Banded"]
+
+from typing import TYPE_CHECKING
+
+import jax.numpy as jnp
+import numpy as np
+
+from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.utils.module import Module
+
+if TYPE_CHECKING:
+    from tinygp_tpu.solvers.quasisep.core import DiagQSM, SymmQSM
+
+
+class Noise(Module):
+    """The noise-model protocol."""
+
+    __array_priority__ = 2001
+
+    def diagonal(self) -> JAXArray:
+        """The diagonal of the noise matrix."""
+        raise NotImplementedError
+
+    def __add__(self, other: JAXArray) -> JAXArray:
+        raise NotImplementedError
+
+    def __radd__(self, other: JAXArray) -> JAXArray:
+        raise NotImplementedError
+
+    def __matmul__(self, other: JAXArray) -> JAXArray:
+        raise NotImplementedError
+
+    def to_qsm(self) -> SymmQSM | DiagQSM:
+        """This noise model as a quasiseparable matrix."""
+        raise NotImplementedError
+
+
+class Diagonal(Noise):
+    """Per-observation measurement variance.
+
+    Args:
+        diag: The ``(N,)`` diagonal entries (broadcast scalars first).
+    """
+
+    diag: JAXArray
+
+    def __post_init__(self) -> None:
+        if jnp.ndim(self.diag) != 1:
+            raise ValueError(
+                "The diagonal for the noise model must be the same shape as "
+                "the data; if passing a constant, it should be broadcast "
+                "first"
+            )
+
+    def diagonal(self) -> JAXArray:
+        return self.diag
+
+    def _add(self, other: JAXArray) -> JAXArray:
+        other = jnp.asarray(other)
+        idx = jnp.diag_indices(other.shape[0])
+        return other.at[idx].add(self.diag)
+
+    def __add__(self, other: JAXArray) -> JAXArray:
+        return self._add(other)
+
+    def __radd__(self, other: JAXArray) -> JAXArray:
+        return self._add(other)
+
+    def __matmul__(self, other: JAXArray) -> JAXArray:
+        if jnp.ndim(other) == 1:
+            return self.diag * other
+        return self.diag[:, None] * other
+
+    def to_qsm(self) -> DiagQSM:
+        from tinygp_tpu.solvers.quasisep.core import DiagQSM
+
+        return DiagQSM(d=self.diag)
+
+
+class Dense(Noise):
+    """A full-rank observation noise matrix.
+
+    .. warning:: Incompatible with the scalable
+        :class:`tinygp_tpu.solvers.QuasisepSolver`.
+    """
+
+    value: JAXArray
+
+    def diagonal(self) -> JAXArray:
+        return jnp.diag(self.value)
+
+    def __add__(self, other: JAXArray) -> JAXArray:
+        return self.value + other
+
+    def __radd__(self, other: JAXArray) -> JAXArray:
+        return other + self.value
+
+    def __matmul__(self, other: JAXArray) -> JAXArray:
+        return self.value @ other
+
+    def to_qsm(self) -> SymmQSM | DiagQSM:
+        raise NotImplementedError(
+            "A dense noise model has no compact quasiseparable form"
+        )
+
+
+class Banded(Noise):
+    r"""A symmetric banded observation noise matrix.
+
+    Stored as the diagonal ``diag`` of shape ``(N,)`` plus ``off_diags`` of
+    shape ``(N, J)``, where row ``i`` holds the entries ``M[i, i+1+j]`` for
+    ``j < J`` (entries beyond the matrix edge are ignored). As a
+    quasiseparable matrix this has order ``J`` with a shift-register
+    transition ``a = eye(J, k=1)``: generator ``q_i = off_diags[i]`` carries
+    the row's band, and each step of the recurrence shifts it one diagonal
+    outward, reproducing the band structure (reference behavior:
+    ``noise.py:127-236``).
+    """
+
+    diag: JAXArray
+    off_diags: JAXArray
+
+    def diagonal(self) -> JAXArray:
+        return self.diag
+
+    def _band_index_pairs(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        N, J = np.shape(self.off_diags)
+        rows, bands, cols = [], [], []
+        for j in range(J):
+            n = N - j - 1
+            rows.append(np.arange(n))
+            bands.append(np.full(n, j, dtype=int))
+            cols.append(np.arange(j + 1, N))
+        return (
+            np.concatenate(rows),
+            np.concatenate(bands),
+            np.concatenate(rows),
+            np.concatenate(cols),
+        )
+
+    def _add(self, other: JAXArray) -> JAXArray:
+        other = jnp.asarray(other)
+        out = other.at[jnp.diag_indices(other.shape[0])].add(self.diag)
+        src_r, src_b, dst_r, dst_c = self._band_index_pairs()
+        vals = self.off_diags[(src_r, src_b)]
+        out = out.at[(dst_r, dst_c)].add(vals)
+        out = out.at[(dst_c, dst_r)].add(vals)
+        return out
+
+    def __add__(self, other: JAXArray) -> JAXArray:
+        return self._add(other)
+
+    def __radd__(self, other: JAXArray) -> JAXArray:
+        return self._add(other)
+
+    def __matmul__(self, other: JAXArray) -> JAXArray:
+        return self.to_qsm() @ other
+
+    def to_qsm(self) -> SymmQSM:
+        from tinygp_tpu.solvers.quasisep import core
+
+        N, J = jnp.shape(self.off_diags)
+        # p selects the first register slot; a shifts the register.
+        p = jnp.repeat(jnp.eye(1, J, dtype=self.diag.dtype), N, axis=0)
+        q = self.off_diags
+        a = jnp.repeat(jnp.eye(J, k=1, dtype=self.diag.dtype)[None], N, axis=0)
+        return core.SymmQSM(
+            diag=core.DiagQSM(d=self.diag),
+            lower=core.StrictLowerTriQSM(p=p, q=q, a=a),
+        )

@@ -1,0 +1,95 @@
+"""The exact dense O(N^3) solver.
+
+API parity: ``/root/reference/src/tinygp/solvers/direct.py:17-95``.
+
+TPU mapping: the three hot operations are (1) the O(N^2) kernel-matrix
+construction, (2) the O(N^3) Cholesky factorization, and (3) the O(N^2)
+triangular solves. All three lower onto the MXU through XLA; construction
+goes through the kernel's batched :meth:`~tinygp_tpu.kernels.base.Kernel.gram`
+hook, and factorization/solves can optionally route through the Pallas
+blocked kernels in :mod:`tinygp_tpu.ops` (``solver_kwargs`` control this at
+the :class:`tinygp_tpu.GaussianProcess` level).
+"""
+
+from __future__ import annotations
+
+__all__ = ["DirectSolver"]
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy import linalg
+
+from tinygp_tpu import kernels
+from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.noise import Noise
+from tinygp_tpu.solvers.solver import Solver
+
+
+class DirectSolver(Solver):
+    """Factorize the dense covariance with a Cholesky decomposition."""
+
+    X: JAXArray
+    variance_value: JAXArray
+    covariance_value: JAXArray
+    scale_tril: JAXArray
+
+    def __init__(
+        self,
+        kernel: kernels.Kernel,
+        X: JAXArray,
+        noise: Noise,
+        *,
+        covariance: Any | None = None,
+    ):
+        """Build the solver, factorizing eagerly.
+
+        Args:
+            kernel: The kernel function.
+            X: The input coordinates.
+            noise: The observation noise model.
+            covariance: Optionally, a pre-computed dense covariance matrix
+                (assumed equal to ``kernel(X, X) + noise``; not checked).
+        """
+        variance_value = kernel(X) + noise.diagonal()
+        if covariance is None:
+            covariance = kernel(X, X) + noise
+        self._init(
+            X=X,
+            variance_value=variance_value,
+            covariance_value=covariance,
+            scale_tril=linalg.cholesky(covariance, lower=True),
+        )
+
+    def variance(self) -> JAXArray:
+        return self.variance_value
+
+    def covariance(self) -> JAXArray:
+        return self.covariance_value
+
+    def normalization(self) -> JAXArray:
+        n = self.scale_tril.shape[0]
+        half_log2pi = 0.5 * np.log(2.0 * np.pi)
+        return jnp.sum(jnp.log(jnp.diag(self.scale_tril))) + n * half_log2pi
+
+    def solve_triangular(self, y: JAXArray, *, transpose: bool = False) -> JAXArray:
+        return linalg.solve_triangular(
+            self.scale_tril, y, lower=True, trans=1 if transpose else 0
+        )
+
+    def dot_triangular(self, y: JAXArray) -> JAXArray:
+        return jnp.einsum("ij,j...->i...", self.scale_tril, y)
+
+    def condition(
+        self, kernel: kernels.Kernel, X_test: JAXArray | None, noise: Noise
+    ) -> Any:
+        """Dense conditional covariance ``Kss - A.T @ A``, ``A = L^{-1} Ks``."""
+        if X_test is None:
+            Ks = kernel(self.X, self.X)
+            Kss = Ks + noise
+        else:
+            Ks = kernel(self.X, X_test)
+            Kss = kernel(X_test, X_test) + noise
+        A = self.solve_triangular(Ks)
+        return Kss - A.T @ A

@@ -1,0 +1,125 @@
+"""A Kalman-filter solver, used as an independent O(N) oracle.
+
+Behavioral parity: ``/root/reference/src/tinygp/solvers/kalman.py``. Only the
+marginal-likelihood path (``normalization`` + whitening ``solve_triangular``)
+is implemented; this solver exists to cross-check the quasiseparable
+factorization through a completely different recursion (the innovations form
+of the state-space filter).
+"""
+
+from __future__ import annotations
+
+__all__ = ["kalman_filter", "kalman_gains", "KalmanSolver"]
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.kernels.base import Kernel
+from tinygp_tpu.noise import Diagonal, Noise
+from tinygp_tpu.solvers.quasisep.block import ensure_dense
+from tinygp_tpu.solvers.solver import Solver
+
+
+class KalmanSolver(Solver):
+    """Whiten observations with a Kalman filter.
+
+    Args:
+        kernel: A :class:`tinygp_tpu.kernels.quasisep.Quasisep` kernel.
+        X: Sorted input coordinates.
+        noise: Must be :class:`tinygp_tpu.noise.Diagonal`.
+    """
+
+    X: JAXArray
+    A: JAXArray
+    H: JAXArray
+    s: JAXArray
+    K: JAXArray
+
+    def __init__(
+        self,
+        kernel: Kernel,
+        X: JAXArray,
+        noise: Noise,
+        *,
+        covariance: Any | None = None,
+    ):
+        from tinygp_tpu.kernels.quasisep import Quasisep
+
+        assert isinstance(kernel, Quasisep)
+        assert isinstance(noise, Diagonal)
+        assert covariance is None
+
+        Pinf = kernel.stationary_covariance()
+        X_prev = jax.tree_util.tree_map(
+            lambda x: jnp.append(x[0], x[:-1]), X
+        )
+        A = jax.vmap(kernel.transition_matrix)(X_prev, X)
+        H = jax.vmap(kernel.observation_model)(X)
+        s, K = kalman_gains(Pinf, A, H, noise.diag)
+        self._init(X=X, A=A, H=H, s=s, K=K)
+
+    def variance(self) -> JAXArray:
+        raise NotImplementedError
+
+    def covariance(self) -> JAXArray:
+        raise NotImplementedError
+
+    def normalization(self) -> JAXArray:
+        return 0.5 * jnp.sum(jnp.log(2 * np.pi * self.s))
+
+    def solve_triangular(self, y: JAXArray, *, transpose: bool = False) -> JAXArray:
+        assert not transpose
+        return kalman_filter(self.A, self.H, self.K, y) / jnp.sqrt(self.s)
+
+    def dot_triangular(self, y: JAXArray) -> JAXArray:
+        raise NotImplementedError
+
+    def condition(
+        self, kernel: Kernel, X_test: JAXArray | None, noise: Noise
+    ) -> Any:
+        raise NotImplementedError
+
+
+@jax.jit
+def kalman_gains(
+    Pinf: JAXArray, A: JAXArray, H: JAXArray, diag: JAXArray
+) -> tuple[JAXArray, JAXArray]:
+    """Innovation variances and gains from the covariance recursion.
+
+    Anchoring the recursion at the stationary covariance keeps it stable:
+    ``P_pred = Pinf + A^T (P - Pinf) A`` propagates only the *deviation*
+    from stationarity.
+    """
+    Pinf = ensure_dense(Pinf)
+
+    def step(P, inputs):
+        A_k, h_k, d_k = inputs
+        P_pred = Pinf + A_k.T @ (P - Pinf) @ A_k
+        Ph = P_pred @ h_k
+        s_k = h_k @ Ph + d_k
+        K_k = Ph / s_k
+        P_post = P_pred - s_k * jnp.outer(K_k, K_k)
+        return P_post, (s_k, K_k)
+
+    return jax.lax.scan(step, Pinf, (A, H, diag))[1]
+
+
+@jax.jit
+def kalman_filter(
+    A: JAXArray, H: JAXArray, K: JAXArray, y: JAXArray
+) -> JAXArray:
+    """Run the mean filter, returning the (unnormalized) innovations."""
+
+    def step(m, inputs):
+        A_k, h_k, K_k, y_k = inputs
+        m_pred = A_k.T @ m
+        v_k = y_k - h_k @ m_pred
+        m_post = m_pred + K_k * v_k
+        return m_post, v_k
+
+    init = jnp.zeros_like(H[0])
+    return jax.lax.scan(step, init, (A, H, K, y))[1]

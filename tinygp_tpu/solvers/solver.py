@@ -1,0 +1,69 @@
+"""The solver interface.
+
+API parity: ``/root/reference/src/tinygp/solvers/solver.py:15-82``. A solver
+owns the factorized covariance ``K = L @ L.T`` and exposes the primitives the
+GP needs: the normalization constant, triangular solves/products, and
+conditional covariances.
+"""
+
+from __future__ import annotations
+
+__all__ = ["Solver"]
+
+from typing import Any
+
+from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.kernels.base import Kernel
+from tinygp_tpu.noise import Noise
+from tinygp_tpu.utils.module import Module
+
+
+class Solver(Module):
+    def __init__(
+        self,
+        kernel: Kernel,
+        X: JAXArray,
+        noise: Noise,
+        *,
+        covariance: Any | None = None,
+    ):
+        del kernel, X, noise, covariance
+        raise NotImplementedError
+
+    @classmethod
+    def init(
+        cls,
+        kernel: Kernel,
+        X: JAXArray,
+        noise: Noise,
+        *,
+        covariance: Any | None = None,
+    ) -> Solver:
+        """Backwards-compatible constructor alias."""
+        return cls(kernel, X, noise, covariance=covariance)
+
+    def variance(self) -> JAXArray:
+        """The diagonal of the covariance matrix."""
+        raise NotImplementedError
+
+    def covariance(self) -> JAXArray:
+        """The full covariance matrix (may be dense; use sparingly)."""
+        raise NotImplementedError
+
+    def normalization(self) -> JAXArray:
+        """``log|L| + (N/2) log(2 pi)`` for the factor ``L``."""
+        raise NotImplementedError
+
+    def solve_triangular(self, y: JAXArray, *, transpose: bool = False) -> JAXArray:
+        """Solve ``L @ x = y`` (or ``L.T @ x = y`` when ``transpose``)."""
+        raise NotImplementedError
+
+    def dot_triangular(self, y: JAXArray) -> JAXArray:
+        """Compute ``L @ y``."""
+        raise NotImplementedError
+
+    def condition(
+        self, kernel: Kernel, X_test: JAXArray | None, noise: Noise
+    ) -> Any:
+        """The covariance of the process conditioned on the data."""
+        raise NotImplementedError

@@ -1,0 +1,121 @@
+"""Input-coordinate transforms for building expressive kernels.
+
+API parity: ``/root/reference/src/tinygp/transforms.py:23-162``
+(``Transform``, ``Linear``, ``Cholesky``, ``Subspace``).
+"""
+
+from __future__ import annotations
+
+__all__ = ["Transform", "Linear", "Cholesky", "Subspace"]
+
+from collections.abc import Callable, Sequence
+from typing import Any
+
+import jax.numpy as jnp
+from jax.scipy import linalg
+
+from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.kernels.base import Kernel
+from tinygp_tpu.utils.module import static_field
+
+
+class Transform(Kernel):
+    """Apply an arbitrary callable to the inputs of a kernel.
+
+    Args:
+        transform: Maps an input coordinate to a transformed coordinate.
+        kernel: The kernel evaluated in the transformed space.
+    """
+
+    transform: Callable[[Any], Any] = static_field()
+    kernel: Kernel
+
+    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        return self.kernel.evaluate(self.transform(X1), self.transform(X2))
+
+
+class Linear(Kernel):
+    """Multiply the inputs by a scalar, per-dimension, or matrix scale.
+
+    Args:
+        scale: A 0-, 1-, or 2-dimensional scale applied as ``scale * x`` (or
+            ``scale @ x`` when 2-dimensional).
+        kernel: The kernel evaluated in the transformed space.
+    """
+
+    scale: JAXArray
+    kernel: Kernel
+
+    def _apply(self, X: JAXArray) -> JAXArray:
+        ndim = jnp.ndim(self.scale)
+        if ndim < 2:
+            return self.scale * X
+        if ndim == 2:
+            return jnp.dot(self.scale, X)
+        raise ValueError("'scale' must be 0-, 1-, or 2-dimensional")
+
+    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        return self.kernel.evaluate(self._apply(X1), self._apply(X2))
+
+
+class Cholesky(Kernel):
+    """Warp inputs by the inverse of a lower-triangular factor.
+
+    Args:
+        factor: A 0-, 1-, or 2-dimensional Cholesky factor; inputs are
+            transformed as ``solve(factor, x)`` (or division for scalar /
+            diagonal factors).
+        kernel: The kernel evaluated in the transformed space.
+    """
+
+    factor: JAXArray
+    kernel: Kernel
+
+    def _apply(self, X: JAXArray) -> JAXArray:
+        ndim = jnp.ndim(self.factor)
+        if ndim < 2:
+            return X / self.factor
+        if ndim == 2:
+            return linalg.solve_triangular(self.factor, X, lower=True)
+        raise ValueError("'factor' must be 0-, 1-, or 2-dimensional")
+
+    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        return self.kernel.evaluate(self._apply(X1), self._apply(X2))
+
+    @classmethod
+    def from_parameters(
+        cls, diagonal: JAXArray, off_diagonal: JAXArray, kernel: Kernel
+    ) -> Cholesky:
+        """Build from an unconstrained (diagonal, strictly-lower) packing.
+
+        Args:
+            diagonal: ``(ndim,)`` positive diagonal entries.
+            off_diagonal: ``(ndim*(ndim-1)/2,)`` strictly-lower entries.
+            kernel: The kernel evaluated in the transformed space.
+        """
+        ndim = diagonal.size
+        expect = ((ndim - 1) * ndim) // 2
+        if off_diagonal.size != expect:
+            raise ValueError(
+                "Dimension mismatch: expected (ndim-1)*ndim/2 = "
+                f"{expect} elements in 'off_diagonal'; got {off_diagonal.size}"
+            )
+        factor = jnp.zeros((ndim, ndim), dtype=diagonal.dtype)
+        factor = factor.at[jnp.diag_indices(ndim)].add(diagonal)
+        factor = factor.at[jnp.tril_indices(ndim, -1)].add(off_diagonal)
+        return cls(factor, kernel)
+
+
+class Subspace(Kernel):
+    """Evaluate a kernel on a subset of the input dimensions.
+
+    Args:
+        axis: An integer or tuple of integers selecting dimensions.
+        kernel: The kernel evaluated on the selected dimensions.
+    """
+
+    axis: Sequence[int] | int = static_field()
+    kernel: Kernel
+
+    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+        return self.kernel.evaluate(X1[self.axis], X2[self.axis])
