@@ -485,7 +485,7 @@ class Exp(Quasisep):
         return jnp.array([self.sigma])
 
     def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
-        dt = X2 - X1
+        dt = jnp.asarray(X2 - X1)
         return jnp.exp(-dt[None, None] / self.scale)
 
 

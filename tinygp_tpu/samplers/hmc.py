@@ -1,0 +1,662 @@
+"""Vectorized Hamiltonian Monte Carlo and iterative NUTS for TPU.
+
+These samplers are new subsystems with no reference counterpart (the
+reference deliberately ships no inference algorithms —
+``/root/reference/docs/motivation.md:16-24``); they implement the
+BASELINE.json north star: 1024+-chain vectorized hyperparameter posteriors
+with the GP marginal likelihood as the target.
+
+TPU-first design:
+
+- Everything is written per-chain and lifted with ``vmap``; thousands of
+  chains batch into MXU/VPU-friendly shapes.
+- NUTS uses the *iterative* tree-building scheme (Phan et al.; the approach
+  used by modern JAX PPLs) with a static ``max_tree_depth``: one
+  ``while_loop`` whose trip count is bounded by ``2^max_depth``, O(log N)
+  checkpoint storage for the U-turn conditions, and no recursion — so the
+  whole transition compiles to a single fused XLA program that ``vmap`` and
+  ``shard_map`` can batch and shard.
+- All position states are pytrees; mass-matrix adaptation is diagonal per
+  leaf (flattened internally).
+"""
+
+from __future__ import annotations
+
+__all__ = ["hmc", "nuts", "window_adaptation", "run_mcmc"]
+
+from collections.abc import Callable
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tinygp_tpu.helpers import JAXArray
+
+
+def _ravel_spec(example: Any):
+    """Build (ravel, unravel, dim) for a pytree position."""
+    leaves, treedef = jax.tree_util.tree_flatten(example)
+    shapes = [jnp.shape(x) for x in leaves]
+    sizes = [int(jnp.size(x)) for x in leaves]
+    dim = sum(sizes)
+
+    def ravel(tree):
+        parts = jax.tree_util.tree_leaves(tree)
+        return jnp.concatenate([jnp.reshape(p, (-1,)) for p in parts])
+
+    def unravel(flat):
+        out = []
+        idx = 0
+        for shape, size in zip(shapes, sizes):
+            out.append(jnp.reshape(flat[idx : idx + size], shape))
+            idx += size
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return ravel, unravel, dim
+
+
+class HMCState(NamedTuple):
+    """Per-chain sampler state (flat position space)."""
+
+    z: JAXArray
+    log_prob: JAXArray
+    grad: JAXArray
+
+
+class HMCInfo(NamedTuple):
+    """Diagnostics emitted by each transition."""
+
+    accept_prob: JAXArray
+    accepted: JAXArray
+    energy: JAXArray
+    num_steps: JAXArray
+    diverging: JAXArray
+
+
+def _leapfrog(value_and_grad, z, r, grad, step_size, inv_mass):
+    r = r + 0.5 * step_size * grad
+    z = z + step_size * inv_mass * r
+    lp, grad = value_and_grad(z)
+    r = r + 0.5 * step_size * grad
+    return z, r, lp, grad
+
+
+def _kinetic(r, inv_mass):
+    return 0.5 * jnp.sum(jnp.square(r) * inv_mass)
+
+
+def hmc(
+    log_prob_fn: Callable[[JAXArray], JAXArray],
+    *,
+    num_leapfrog: int = 32,
+):
+    """Build a fixed-length HMC transition on a *flat* position vector.
+
+    Returns ``(init_fn, step_fn)`` where ``step_fn(key, state, step_size,
+    inv_mass)`` performs one accept/reject trajectory.
+    """
+    value_and_grad = jax.value_and_grad(log_prob_fn)
+
+    def init_fn(z0: JAXArray) -> HMCState:
+        lp, grad = value_and_grad(z0)
+        return HMCState(z=z0, log_prob=lp, grad=grad)
+
+    def step_fn(key, state: HMCState, step_size, inv_mass):
+        key_mom, key_acc = jax.random.split(key)
+        r0 = jax.random.normal(key_mom, state.z.shape) / jnp.sqrt(inv_mass)
+        energy0 = -state.log_prob + _kinetic(r0, inv_mass)
+
+        def body(_, carry):
+            z, r, lp, grad = carry
+            z, r, lp, grad = _leapfrog(
+                value_and_grad, z, r, grad, step_size, inv_mass
+            )
+            return z, r, lp, grad
+
+        z, r, lp, grad = jax.lax.fori_loop(
+            0, num_leapfrog, body, (state.z, r0, state.log_prob, state.grad)
+        )
+        energy1 = -lp + _kinetic(r, inv_mass)
+        delta = energy0 - energy1
+        delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+        accept_prob = jnp.minimum(1.0, jnp.exp(delta))
+        accept = jax.random.uniform(key_acc) < accept_prob
+        new_state = HMCState(
+            z=jnp.where(accept, z, state.z),
+            log_prob=jnp.where(accept, lp, state.log_prob),
+            grad=jnp.where(accept, grad, state.grad),
+        )
+        info = HMCInfo(
+            accept_prob=accept_prob,
+            accepted=accept,
+            energy=energy1,
+            num_steps=jnp.asarray(num_leapfrog),
+            diverging=delta < -1000.0,
+        )
+        return new_state, info
+
+    return init_fn, step_fn
+
+
+# ---------------------------------------------------------------------------
+# Iterative NUTS
+# ---------------------------------------------------------------------------
+
+
+class _TreeState(NamedTuple):
+    """The running trajectory state during iterative doubling."""
+
+    z_left: JAXArray
+    r_left: JAXArray
+    grad_left: JAXArray
+    z_right: JAXArray
+    r_right: JAXArray
+    grad_right: JAXArray
+    z_proposal: JAXArray
+    lp_proposal: JAXArray
+    grad_proposal: JAXArray
+    log_sum_weight: JAXArray
+    sum_r: JAXArray
+    depth: JAXArray
+    turning: JAXArray
+    diverging: JAXArray
+    sum_accept: JAXArray
+    num_steps: JAXArray
+
+
+def _is_turning(r_left, r_right, sum_r, inv_mass):
+    """Generalized U-turn condition on the momentum sum."""
+    v = sum_r * inv_mass
+    left = jnp.dot(v, r_left)
+    right = jnp.dot(v, r_right)
+    return (left <= 0.0) | (right <= 0.0)
+
+
+def nuts(
+    log_prob_fn: Callable[[JAXArray], JAXArray],
+    *,
+    max_tree_depth: int = 8,
+    max_delta_energy: float = 1000.0,
+):
+    """Build an iterative multinomial NUTS transition on a flat vector.
+
+    Returns ``(init_fn, step_fn)`` with the same signature as :func:`hmc`.
+    The transition runs a ``while_loop`` of tree doublings (up to
+    ``max_tree_depth``); each doubling runs ``2^depth`` leapfrog steps in a
+    ``while_loop`` with O(``max_tree_depth``) checkpoints for the internal
+    U-turn checks — fully iterative and static-shaped for XLA.
+    """
+    value_and_grad = jax.value_and_grad(log_prob_fn)
+
+    def init_fn(z0: JAXArray) -> HMCState:
+        lp, grad = value_and_grad(z0)
+        return HMCState(z=z0, log_prob=lp, grad=grad)
+
+    def _build_subtree(key, state, direction, depth, step_size, inv_mass, energy0):
+        """Integrate 2^depth steps in one direction, with internal U-turn
+        checks via binary checkpointing.
+
+        Returns a summary of the new subtree: endpoints, a multinomial
+        proposal, its total weight, momentum sum, and turning/divergence
+        flags.
+        """
+        dim = state.z_left.shape[0]
+        num_steps = jnp.asarray(1, jnp.int32) << depth
+
+        # Pick the endpoint to extend from.
+        z = jnp.where(direction > 0, state.z_right, state.z_left)
+        r = jnp.where(direction > 0, state.r_right, state.r_left)
+        grad = jnp.where(direction > 0, state.grad_right, state.grad_left)
+
+        # Checkpoints (position/momentum) for the subtree U-turn conditions:
+        # leaf i's relevant ancestors live at the set bits of i.
+        ckpt_r = jnp.zeros((max_tree_depth, dim))
+        ckpt_sum_r = jnp.zeros((max_tree_depth, dim))
+
+        def leaf_cond(carry):
+            step, *_rest, turning, diverging = carry
+            return (step < num_steps) & ~turning & ~diverging
+
+        def leaf_body(carry):
+            (
+                step,
+                key,
+                z,
+                r,
+                grad,
+                z_prop,
+                lp_prop,
+                grad_prop,
+                log_sum_w,
+                sum_r,
+                sum_acc,
+                ckpt_r,
+                ckpt_sum_r,
+                turning,
+                diverging,
+            ) = carry
+
+            eps = direction * step_size
+            z, r, lp, grad = _leapfrog(value_and_grad, z, r, grad, eps, inv_mass)
+            energy = -lp + _kinetic(r, inv_mass)
+            delta = energy0 - energy
+            delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+            diverging = delta < -max_delta_energy
+            sum_acc = sum_acc + jnp.minimum(1.0, jnp.exp(delta))
+
+            # Multinomial (progressive) sampling within the subtree.
+            log_w = delta
+            new_log_sum = jnp.logaddexp(log_sum_w, log_w)
+            key, sub = jax.random.split(key)
+            take = jax.random.uniform(sub) < jnp.exp(log_w - new_log_sum)
+            z_prop = jnp.where(take, z, z_prop)
+            lp_prop = jnp.where(take, lp, lp_prop)
+            grad_prop = jnp.where(take, grad, grad_prop)
+
+            sum_r = sum_r + r
+
+            # Internal U-turn checks against checkpointed ancestors. For
+            # leaf index s (0-based), compare against checkpoints at levels
+            # given by the trailing-ones structure of s+1.
+            idx = step
+            # Store checkpoint when idx is even at level = count of trailing
+            # zeros of idx... emulate the standard scheme: for each level l,
+            # if this leaf starts a new 2^l block, record (r, sum_r-prefix).
+            def check_level(l, args):
+                ckpt_r, ckpt_sum_r, turning = args
+                block = jnp.asarray(1, jnp.int32) << l
+                starts_block = (idx % block) == 0
+                ckpt_r = jnp.where(
+                    starts_block, ckpt_r.at[l].set(r), ckpt_r
+                )
+                ckpt_sum_r = jnp.where(
+                    starts_block, ckpt_sum_r.at[l].set(sum_r - r), ckpt_sum_r
+                )
+                ends_block = ((idx + 1) % block) == 0
+                seg_sum = sum_r - ckpt_sum_r[l]
+                turn_l = _is_turning(ckpt_r[l], r, seg_sum, inv_mass)
+                turning = turning | (ends_block & turn_l & (block > 1))
+                return ckpt_r, ckpt_sum_r, turning
+
+            ckpt_r, ckpt_sum_r, turning = jax.lax.fori_loop(
+                0, max_tree_depth, check_level, (ckpt_r, ckpt_sum_r, turning)
+            )
+
+            return (
+                step + 1,
+                key,
+                z,
+                r,
+                grad,
+                z_prop,
+                lp_prop,
+                grad_prop,
+                new_log_sum,
+                sum_r,
+                sum_acc,
+                ckpt_r,
+                ckpt_sum_r,
+                turning,
+                diverging,
+            )
+
+        init = (
+            jnp.asarray(0, jnp.int32),
+            key,
+            z,
+            r,
+            grad,
+            z,  # placeholder proposal (weight -inf below)
+            jnp.asarray(-jnp.inf, state.lp_proposal.dtype),
+            grad,
+            jnp.asarray(-jnp.inf),
+            jnp.zeros(dim),
+            jnp.asarray(0.0),
+            ckpt_r,
+            ckpt_sum_r,
+            jnp.asarray(False),
+            jnp.asarray(False),
+        )
+        out = jax.lax.while_loop(leaf_cond, leaf_body, init)
+        (
+            steps_done,
+            _key,
+            z_end,
+            r_end,
+            grad_end,
+            z_prop,
+            lp_prop,
+            grad_prop,
+            log_sum_w,
+            sum_r,
+            sum_acc,
+            _cr,
+            _csr,
+            turning,
+            diverging,
+        ) = out
+        return (
+            z_end,
+            r_end,
+            grad_end,
+            z_prop,
+            lp_prop,
+            grad_prop,
+            log_sum_w,
+            sum_r,
+            turning,
+            diverging,
+            sum_acc,
+            steps_done,
+        )
+
+    def step_fn(key, state: HMCState, step_size, inv_mass):
+        key_mom, key_tree = jax.random.split(key)
+        r0 = jax.random.normal(key_mom, state.z.shape) / jnp.sqrt(inv_mass)
+        energy0 = -state.log_prob + _kinetic(r0, inv_mass)
+
+        tree = _TreeState(
+            z_left=state.z,
+            r_left=r0,
+            grad_left=state.grad,
+            z_right=state.z,
+            r_right=r0,
+            grad_right=state.grad,
+            z_proposal=state.z,
+            lp_proposal=state.log_prob,
+            grad_proposal=state.grad,
+            log_sum_weight=jnp.asarray(0.0),
+            sum_r=r0,
+            depth=jnp.asarray(0, jnp.int32),
+            turning=jnp.asarray(False),
+            diverging=jnp.asarray(False),
+            sum_accept=jnp.asarray(0.0),
+            num_steps=jnp.asarray(0, jnp.int32),
+        )
+
+        def cond(carry):
+            _, tree = carry
+            return (
+                (tree.depth < max_tree_depth)
+                & ~tree.turning
+                & ~tree.diverging
+            )
+
+        def body(carry):
+            key, tree = carry
+            key, key_dir, key_sub, key_accept = jax.random.split(key, 4)
+            direction = jnp.where(
+                jax.random.bernoulli(key_dir), 1.0, -1.0
+            )
+            (
+                z_end,
+                r_end,
+                grad_end,
+                z_prop,
+                lp_prop,
+                grad_prop,
+                log_sum_w,
+                sum_r,
+                sub_turning,
+                sub_diverging,
+                sum_acc,
+                steps_done,
+            ) = _build_subtree(
+                key_sub, tree, direction, tree.depth, step_size, inv_mass,
+                energy0,
+            )
+
+            # Update the extended endpoint.
+            z_left = jnp.where(direction > 0, tree.z_left, z_end)
+            r_left = jnp.where(direction > 0, tree.r_left, r_end)
+            grad_left = jnp.where(direction > 0, tree.grad_left, grad_end)
+            z_right = jnp.where(direction > 0, z_end, tree.z_right)
+            r_right = jnp.where(direction > 0, r_end, tree.r_right)
+            grad_right = jnp.where(direction > 0, grad_end, tree.grad_right)
+
+            # Biased progressive sampling between old tree and new subtree.
+            valid = ~(sub_turning | sub_diverging)
+            accept_new = (
+                jax.random.uniform(key_accept)
+                < jnp.exp(jnp.minimum(log_sum_w - tree.log_sum_weight, 0.0))
+            ) & valid
+            z_proposal = jnp.where(accept_new, z_prop, tree.z_proposal)
+            lp_proposal = jnp.where(accept_new, lp_prop, tree.lp_proposal)
+            grad_proposal = jnp.where(
+                accept_new, grad_prop, tree.grad_proposal
+            )
+
+            total_sum_r = tree.sum_r + sum_r
+            turning_total = _is_turning(r_left, r_right, total_sum_r, inv_mass)
+
+            new_tree = _TreeState(
+                z_left=z_left,
+                r_left=r_left,
+                grad_left=grad_left,
+                z_right=z_right,
+                r_right=r_right,
+                grad_right=grad_right,
+                z_proposal=z_proposal,
+                lp_proposal=lp_proposal,
+                grad_proposal=grad_proposal,
+                log_sum_weight=jnp.logaddexp(
+                    tree.log_sum_weight, jnp.where(valid, log_sum_w, -jnp.inf)
+                ),
+                sum_r=total_sum_r,
+                depth=tree.depth + 1,
+                turning=sub_turning | turning_total,
+                diverging=sub_diverging,
+                sum_accept=tree.sum_accept + sum_acc,
+                num_steps=tree.num_steps + steps_done,
+            )
+            return key, new_tree
+
+        _, tree = jax.lax.while_loop(cond, body, (key_tree, tree))
+
+        _, grad_check = value_and_grad(tree.z_proposal)
+        new_state = HMCState(
+            z=tree.z_proposal,
+            log_prob=tree.lp_proposal,
+            grad=tree.grad_proposal,
+        )
+        accept_prob = tree.sum_accept / jnp.maximum(
+            tree.num_steps.astype(tree.sum_accept.dtype), 1.0
+        )
+        info = HMCInfo(
+            accept_prob=accept_prob,
+            accepted=accept_prob > 0.5,
+            energy=-tree.lp_proposal,
+            num_steps=tree.num_steps,
+            diverging=tree.diverging,
+        )
+        return new_state, info
+
+    return init_fn, step_fn
+
+
+# ---------------------------------------------------------------------------
+# Warmup: dual averaging + diagonal mass adaptation (windowed)
+# ---------------------------------------------------------------------------
+
+
+class DualAveragingState(NamedTuple):
+    log_step: JAXArray
+    log_step_avg: JAXArray
+    grad_avg: JAXArray
+    t: JAXArray
+    mu: JAXArray
+
+
+def _da_init(step_size):
+    return DualAveragingState(
+        log_step=jnp.log(step_size),
+        log_step_avg=jnp.log(step_size),
+        grad_avg=jnp.zeros(()),
+        t=jnp.zeros(()),
+        mu=jnp.log(10.0 * step_size),
+    )
+
+
+def _da_update(state: DualAveragingState, accept_prob, target=0.8):
+    t = state.t + 1.0
+    eta = 1.0 / (t + 10.0)
+    grad_avg = (1.0 - eta) * state.grad_avg + eta * (target - accept_prob)
+    log_step = state.mu - grad_avg * jnp.sqrt(t) / 0.05
+    weight = t ** -0.75
+    log_step_avg = weight * log_step + (1.0 - weight) * state.log_step_avg
+    return DualAveragingState(
+        log_step=log_step,
+        log_step_avg=log_step_avg,
+        grad_avg=grad_avg,
+        t=t,
+        mu=state.mu,
+    )
+
+
+def window_adaptation(
+    step_fn,
+    *,
+    num_warmup: int,
+    target_accept: float = 0.8,
+    initial_step_size: float = 0.1,
+):
+    """Warmup loop: dual-averaged step size + diagonal mass (Welford).
+
+    Shared across chains: the accept statistic is averaged over the chain
+    axis (a ``psum``-style reduction when sharded), so all chains adapt one
+    step size and one mass matrix — the standard cross-chain scheme.
+
+    Returns ``run(keys, states) -> (states, step_size, inv_mass)``, where
+    ``keys``/``states`` carry a leading chain axis.
+    """
+
+    def run(keys, states: HMCState):
+        num_chains, dim = states.z.shape
+        da = _da_init(jnp.asarray(initial_step_size))
+        inv_mass = jnp.ones(dim)
+        welford_mean = jnp.zeros(dim)
+        welford_m2 = jnp.zeros(dim)
+        welford_n = jnp.zeros(())
+
+        # Mass-adaptation window: middle portion of warmup.
+        lo = int(0.1 * num_warmup)
+        hi = int(0.8 * num_warmup)
+
+        def body(carry, inputs):
+            states, da, inv_mass, wmean, wm2, wn = carry
+            step, keys = inputs
+            step_size = jnp.exp(da.log_step)
+            states, infos = jax.vmap(
+                lambda k, s: step_fn(k, s, step_size, inv_mass)
+            )(keys, states)
+            # Cross-chain mean accept stat (psum over the chain axis when
+            # sharded via shard_map).
+            accept = jnp.mean(infos.accept_prob)
+            da = _da_update(da, accept, target=target_accept)
+
+            in_window = (step >= lo) & (step < hi)
+            n = wn + 1.0
+            delta = states.z - wmean[None, :]
+            wmean_new = wmean + jnp.mean(delta, axis=0) / n
+            wm2_new = wm2 + jnp.mean(
+                delta * (states.z - wmean_new[None, :]), axis=0
+            )
+            wmean = jnp.where(in_window, wmean_new, wmean)
+            wm2 = jnp.where(in_window, wm2_new, wm2)
+            wn = jnp.where(in_window, n, wn)
+
+            # At the end of the window, switch in the new mass matrix and
+            # reset step-size adaptation around the current value.
+            at_switch = step == hi
+            var = wm2 / jnp.maximum(wn, 1.0)
+            var = jnp.where(jnp.isfinite(var) & (var > 0), var, 1.0)
+            inv_mass = jnp.where(at_switch, var, inv_mass)
+            da = jax.tree_util.tree_map(
+                lambda reset, keep: jnp.where(at_switch, reset, keep),
+                _da_init(jnp.exp(da.log_step)),
+                da,
+            )
+            return (states, da, inv_mass, wmean, wm2, wn), None
+
+        all_keys = jax.vmap(
+            lambda i: jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, i)
+        )(jnp.arange(num_warmup))
+        (states, da, inv_mass, *_), _ = jax.lax.scan(
+            body,
+            (states, da, inv_mass, welford_mean, welford_m2, welford_n),
+            (jnp.arange(num_warmup), all_keys),
+        )
+        return states, jnp.exp(da.log_step_avg), inv_mass
+
+    return run
+
+
+def run_mcmc(
+    key: jax.Array,
+    log_prob_fn: Callable[[Any], JAXArray],
+    init_params: Any,
+    *,
+    num_chains: int = 4,
+    num_warmup: int = 500,
+    num_samples: int = 1000,
+    sampler: str = "nuts",
+    max_tree_depth: int = 8,
+    num_leapfrog: int = 32,
+    target_accept: float = 0.8,
+    initial_step_size: float = 0.1,
+    jitter_init: float = 1.0,
+) -> tuple[Any, HMCInfo]:
+    """End-to-end vectorized MCMC over a pytree-valued posterior.
+
+    Args:
+        key: PRNG key.
+        log_prob_fn: Log density of a *single* pytree position.
+        init_params: An example position pytree (chains are initialized by
+            jittering it).
+        num_chains: Number of vectorized chains.
+        sampler: ``"nuts"`` or ``"hmc"``.
+
+    Returns:
+        ``(samples, info)`` where ``samples`` has leading dims
+        ``(num_samples, num_chains)`` on every leaf.
+    """
+    ravel, unravel, dim = _ravel_spec(init_params)
+    flat_log_prob = lambda z: log_prob_fn(unravel(z))
+
+    if sampler == "nuts":
+        init_fn, step_fn = nuts(flat_log_prob, max_tree_depth=max_tree_depth)
+    elif sampler == "hmc":
+        init_fn, step_fn = hmc(flat_log_prob, num_leapfrog=num_leapfrog)
+    else:
+        raise ValueError(f"unknown sampler: {sampler}")
+
+    key_init, key_warm, key_run = jax.random.split(key, 3)
+    z0 = ravel(init_params)
+    z_chains = z0[None, :] + jitter_init * jax.random.normal(
+        key_init, (num_chains, dim)
+    )
+    states = jax.vmap(init_fn)(z_chains)
+
+    warm_keys = jax.random.split(key_warm, num_chains)
+    adapt = window_adaptation(
+        step_fn,
+        num_warmup=num_warmup,
+        target_accept=target_accept,
+        initial_step_size=initial_step_size,
+    )
+    states, step_size, inv_mass = adapt(warm_keys, states)
+
+    def sample_body(states, keys):
+        states, infos = jax.vmap(
+            lambda k, s: step_fn(k, s, step_size, inv_mass)
+        )(keys, states)
+        return states, (states.z, infos)
+
+    run_keys = jax.vmap(
+        lambda i: jax.random.split(jax.random.fold_in(key_run, i), num_chains)
+    )(jnp.arange(num_samples))
+    _, (zs, infos) = jax.lax.scan(sample_body, states, run_keys)
+
+    samples = jax.vmap(jax.vmap(unravel))(zs)
+    return samples, infos

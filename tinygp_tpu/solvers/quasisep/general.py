@@ -82,7 +82,10 @@ class GeneralQSM(Module):
         # Upper/future: inclusive suffix g_k = a_{k+1}^T g_{k+1} + pu_k x_k;
         # row i reads g at idx_i + 1. The transitions lag by one step, so
         # roll them (the rolled-in last element never reaches an output).
-        a_next = jnp.roll(self.a, -1, axis=0)
+        # tree_map keeps lazy Block transitions lazy.
+        a_next = jax.tree_util.tree_map(
+            lambda x: jnp.roll(x, -1, axis=0), self.a
+        )
         g = affine_scan(
             a_next.mT,
             jnp.einsum("nj,nk->njk", self.pu, x),

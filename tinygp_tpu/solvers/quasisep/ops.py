@@ -454,4 +454,6 @@ def qsm_mul(a, b):
         return new_diag, new_lower, new_upper
 
     diag, lower, upper = emit(da, la, ua, db, lb, ub, phi, psi)
-    return _recompose(diag, lower, upper, _is_symmetric(a) and _is_symmetric(b))
+    # Unlike addition, a product of symmetric matrices is only symmetric when
+    # they commute, which we can't assume — always keep both triangles.
+    return _recompose(diag, lower, upper, symmetric=False)
