@@ -1,0 +1,54 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinygp_tpu.samplers import fit_advi, run_smc, sample_advi
+
+MU = np.array([1.0, -2.0])
+SD = np.array([0.5, 1.5])
+
+
+def log_prob(p):
+    return -0.5 * jnp.sum(jnp.square((p["x"] - MU) / SD))
+
+
+def log_prior(p):
+    return -0.5 * jnp.sum(jnp.square(p["x"]) / 16.0)
+
+
+def test_advi_gaussian_exact():
+    res = fit_advi(
+        jax.random.PRNGKey(0),
+        log_prob,
+        {"x": jnp.zeros(2)},
+        num_steps=2000,
+        learning_rate=0.05,
+    )
+    np.testing.assert_allclose(np.asarray(res.mean), MU, atol=0.1)
+    np.testing.assert_allclose(np.exp(np.asarray(res.log_std)), SD, atol=0.1)
+    # ELBO increases
+    trace = np.asarray(res.elbo_trace)
+    assert trace[-100:].mean() > trace[:100].mean()
+
+    draws = sample_advi(jax.random.PRNGKey(1), res, 4000)
+    x = np.asarray(draws["x"])
+    np.testing.assert_allclose(x.mean(0), MU, atol=0.1)
+
+
+def test_smc_posterior_and_evidence():
+    parts = {"x": 4.0 * jax.random.normal(jax.random.PRNGKey(1), (2048, 2))}
+    out = run_smc(jax.random.PRNGKey(2), log_prior, log_prob, parts)
+    x = np.asarray(out.particles["x"])
+
+    # Analytic Gaussian posterior: prior N(0, 16 I), likelihood N(MU, SD^2).
+    post_var = 1.0 / (1.0 / 16.0 + 1.0 / SD**2)
+    post_mean = post_var * MU / SD**2
+    np.testing.assert_allclose(x.mean(0), post_mean, atol=0.15)
+    np.testing.assert_allclose(x.std(0), np.sqrt(post_var), atol=0.15)
+
+    # Analytic evidence of the Gaussian-Gaussian model.
+    var_sum = 16.0 + SD**2
+    logZ = np.sum(-0.5 * (MU**2 / var_sum + np.log(var_sum / SD**2)))
+    np.testing.assert_allclose(float(out.log_evidence), logZ, atol=0.15)
+    assert int(out.num_stages) < 50
+    assert float(out.betas) == 1.0

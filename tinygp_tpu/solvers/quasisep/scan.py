@@ -38,6 +38,65 @@ import jax.numpy as jnp
 from tinygp_tpu.helpers import JAXArray
 
 
+def _solve_small(M: JAXArray, B: JAXArray) -> JAXArray:
+    """Batched ``solve(M, B)`` specialized for the tiny state dimensions of
+    quasiseparable models.
+
+    For m <= 3, uses the closed-form adjugate inverse — pure VPU arithmetic
+    with no LU custom-call, which both compiles and runs far faster on TPU
+    inside an associative-scan combine. Falls back to ``jnp.linalg.solve``
+    for larger m.
+    """
+    m = M.shape[-1]
+    if m == 1:
+        return B / M[..., :1, :1]
+    if m == 2:
+        a = M[..., 0, 0]
+        b = M[..., 0, 1]
+        c = M[..., 1, 0]
+        d = M[..., 1, 1]
+        det = a * d - b * c
+        inv = (
+            jnp.stack(
+                [
+                    jnp.stack([d, -b], axis=-1),
+                    jnp.stack([-c, a], axis=-1),
+                ],
+                axis=-2,
+            )
+            / det[..., None, None]
+        )
+        return inv @ B
+    if m == 3:
+        # Adjugate (cofactor-transpose) inverse.
+        a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+        d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+        g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+        A = e * i - f * h
+        Bc = -(d * i - f * g)
+        C = d * h - e * g
+        D = -(b * i - c * h)
+        E = a * i - c * g
+        F = -(a * h - b * g)
+        G = b * f - c * e
+        H = -(a * f - c * d)
+        I = a * e - b * d
+        det = a * A + b * Bc + c * C
+        inv = (
+            jnp.stack(
+                [
+                    jnp.stack([A, D, G], axis=-1),
+                    jnp.stack([Bc, E, H], axis=-1),
+                    jnp.stack([C, F, I], axis=-1),
+                ],
+                axis=-2,
+            )
+            / det[..., None, None]
+        )
+        return inv @ B
+    return jnp.linalg.solve(M, B)
+
+
 def _exclusive_fwd(x: JAXArray) -> JAXArray:
     """Shift an inclusive forward scan to exclusive (prepend zero)."""
     return jnp.concatenate((jnp.zeros_like(x[:1]), x[:-1]), axis=0)
@@ -195,9 +254,9 @@ def riccati_scan(
         A_l, F_l, G_l = left
         A_r, F_r, G_r = right
         M = eye + F_l @ G_r
-        A = A_r @ jnp.linalg.solve(M, A_l)
-        F = F_r + A_r @ jnp.linalg.solve(M, F_l) @ A_r.mT
-        G = G_l + A_l.mT @ jnp.linalg.solve(M.mT, G_r) @ A_l
+        A = A_r @ _solve_small(M, A_l)
+        F = F_r + A_r @ _solve_small(M, F_l) @ A_r.mT
+        G = G_l + A_l.mT @ _solve_small(M.mT, G_r) @ A_l
         return A, F, G
 
     _, F, _ = jax.lax.associative_scan(combine, (A0, F0, G0))
