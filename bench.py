@@ -26,15 +26,21 @@ N_MAIN = 100_000
 BASELINE_SECONDS = 8.49e-3  # celerite2 C++ (1-thread CPU), N=1e5, BASELINE.md
 
 
-def _timeit(fn, *args, repeats=20, warmup=2):
+def _timeit(fn, *args, repeats=50, warmup=2):
+    """Per-call device time via queued dispatch.
+
+    Executions are enqueued asynchronously and synchronized once at the
+    end: per-call host<->device round trips (tens of ms through tunneled
+    device access) would otherwise dominate and hide the true device time.
+    Queued timing also matches how the samplers consume this kernel —
+    thousands of steps inside one jitted scan with no host sync.
+    """
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(repeats)]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / repeats
 
 
 def main():

@@ -62,6 +62,22 @@ def _mT(matrix: JAXArray) -> JAXArray:
     return jnp.swapaxes(matrix, -1, -2)
 
 
+def _anchor(h: JAXArray, t: JAXArray) -> JAXArray:
+    """Tie a (possibly input-independent) generator array to the inputs.
+
+    Observation models are often constant in ``X``, which would make the
+    whole (N, m) generator stack a compile-time constant. XLA's constant
+    folder then materializes it host-side — slow, and it crashes the
+    chipless TPU AOT compile helper on large folds. Masking through
+    ``isnan(t)`` creates a data dependence the simplifier cannot remove
+    (NaN semantics forbid folding ``isnan``), fuses to a single select on
+    the VPU, and is a semantic no-op for finite coordinates.
+    """
+    mask = jnp.isnan(t)
+    mask = mask.reshape(mask.shape + (1,) * (h.ndim - mask.ndim))
+    return jnp.where(mask, 0.0, h)
+
+
 class Quasisep(Kernel):
     """Base class for all quasiseparable kernels.
 
@@ -98,7 +114,8 @@ class Quasisep(Kernel):
             lambda x: jnp.append(x[0], x[:-1]), X
         )
         a = _mT(jax.vmap(self.transition_matrix)(X_prev, X))
-        h = jax.vmap(self.observation_model)(X)
+        t = jax.vmap(self.coord_to_sortable)(X)
+        h = _anchor(jax.vmap(self.observation_model)(X), t)
         q = h @ Pinf  # Pinf symmetric: also the forward generator
         d = jnp.sum(q * h, axis=1)
         p = jax.vmap(lambda hk, ak: hk @ ak)(h, a)
@@ -116,8 +133,10 @@ class Quasisep(Kernel):
         )
         Pinf = self.stationary_covariance()
         a = _mT(jax.vmap(self.transition_matrix)(X2_prev, X2))
-        h1 = jax.vmap(self.observation_model)(X1)
-        h2 = jax.vmap(self.observation_model)(X2)
+        t1 = sortable(X1)
+        t2 = sortable(X2)
+        h1 = _anchor(jax.vmap(self.observation_model)(X1), t1)
+        h2 = _anchor(jax.vmap(self.observation_model)(X2), t2)
 
         ql = h2 @ _mT(Pinf)
         qu = h1 @ Pinf

@@ -58,7 +58,11 @@ class KalmanSolver(Solver):
             lambda x: jnp.append(x[0], x[:-1]), X
         )
         A = jax.vmap(kernel.transition_matrix)(X_prev, X)
+        t = jax.vmap(kernel.coord_to_sortable)(X)
         H = jax.vmap(kernel.observation_model)(X)
+        # Tie to the inputs so constant observation models don't become
+        # giant compile-time constants (see kernels.quasisep._anchor).
+        H = jnp.where(jnp.isnan(t)[:, None], 0.0, H)
         s, K = kalman_gains(Pinf, A, H, noise.diag)
         self._init(X=X, A=A, H=H, s=s, K=K)
 

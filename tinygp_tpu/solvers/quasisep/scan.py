@@ -14,15 +14,28 @@ recurrences over the data axis:
 Each primitive has two execution strategies sharing one code path for the
 surrounding math:
 
-- ``parallel=False``: a sequential ``lax.scan`` — O(N m^2) work, O(N) depth.
-  The oracle path; also fastest on CPU for small m.
-- ``parallel=True``: ``lax.associative_scan`` — O(N m^3 log N) work, O(log N)
-  depth. **The TPU default**: the sequential path serializes completely on
-  an accelerator, while the associative form keeps the VPU/MXU busy across
-  the whole batch. The Riccati flow composes as a linear-fractional (Möbius)
-  map on matrix fractions, so its associative combine solves small m×m
-  systems per merge (reference math: ``solvers/quasisep/ops.py:368-386``; see
-  also Foreman-Mackey et al. 2017 for the celerite factorization).
+- ``parallel=False``: a sequential ``lax.scan`` over the data axis — O(N m^2)
+  work, O(N) depth. The oracle path; also fastest on CPU for small m.
+- ``parallel=True`` (the TPU default): a **blocked, lane-major multi-level
+  scan** (:func:`monoid_scan`). Two TPU facts drive this design:
+
+  * ``lax.associative_scan``'s odd/even recursion emits an O(N)-size HLO
+    program — compile time explodes (and the TPU AOT helper crashes) past
+    ~10^4 elements. The blocked scan runs a fixed number of sequential
+    steps per level with *all blocks batched across vector lanes*, so the
+    compiled program is O(1) in N and the depth is ~64·log_64 N.
+  * TPU tiles the **last two axes** of every buffer to (8, 128) lanes.
+    Arrays shaped (N, m, m) with tiny trailing dims waste ~256x of the
+    memory system, and anything crossing a loop boundary materializes in
+    that layout. All scan-crossing state is therefore **lane-major**:
+    matrices are (m, m, N), vectors (m, N), with the long axis N on the
+    128-lane dimension; the m×m algebra becomes unrolled elementwise
+    arithmetic over N-vectors on the VPU.
+
+The Riccati flow composes as a linear-fractional (Möbius) map on matrix
+fractions, so its associative combine solves small m×m systems per merge
+(closed-form adjugate inverses for m <= 3; reference math:
+``solvers/quasisep/ops.py:368-386``, Foreman-Mackey et al. 2017).
 
 Both strategies return the *exclusive* prefix (the carry *before* step k),
 which is what the emission formulas consume.
@@ -30,48 +43,97 @@ which is what the emission formulas consume.
 
 from __future__ import annotations
 
-__all__ = ["affine_scan", "congruence_scan", "riccati_scan"]
+__all__ = ["affine_scan", "congruence_scan", "riccati_scan", "monoid_scan"]
 
 import jax
 import jax.numpy as jnp
 
 from tinygp_tpu.helpers import JAXArray
 
+# Sequential steps per level of the blocked scan. Each step is batched over
+# N/_BLOCK lanes, so bigger blocks mean fewer lanes but less recursion.
+_BLOCK = 64
+# Below this length a single sequential scan wins.
+_SEQ_CUTOFF = 128
+# Loop unrolling for the per-level sequential scans: while-loop iterations
+# on TPU carry fixed dispatch/slice overhead, so folding several combines
+# into each iteration is nearly free throughput.
+_UNROLL = 8
+
+
+# ---------------------------------------------------------------------------
+# Lane-major helpers: matrices (..., i, j, N), vectors (..., i, N).
+# ---------------------------------------------------------------------------
+
+
+def _mm(A: JAXArray, B: JAXArray) -> JAXArray:
+    """Lane-major matmul: (..., i, j, N) x (..., j, k, N) -> (..., i, k, N).
+
+    Unrolled into explicit multiply-adds for small m so the contraction
+    stays on the VPU as fused elementwise ops over the lane axis — an
+    einsum here becomes a batched dot_general that TPU routes through the
+    MXU with k=m=2 (waste) and bf16 operand demotion (precision loss).
+    """
+    m = A.shape[-3]
+    k = A.shape[-2]
+    r = B.shape[-2]
+    if k <= 8:
+        rows = []
+        for i in range(m):
+            cols = []
+            for j in range(r):
+                acc = A[..., i, 0, :] * B[..., 0, j, :]
+                for l in range(1, k):
+                    acc = acc + A[..., i, l, :] * B[..., l, j, :]
+                cols.append(acc)
+            rows.append(jnp.stack(cols, axis=-2))
+        return jnp.stack(rows, axis=-3)
+    return jnp.einsum("...ijn,...jkn->...ikn", A, B)
+
+
+def _mT(A: JAXArray) -> JAXArray:
+    """Lane-major matrix transpose."""
+    return jnp.swapaxes(A, -3, -2)
+
+
+def _to_lanes_mat(a: JAXArray) -> JAXArray:
+    """(N, i, j) -> (i, j, N)."""
+    return jnp.transpose(a, (1, 2, 0))
+
+
+def _from_lanes_mat(a: JAXArray) -> JAXArray:
+    """(i, j, N) -> (N, i, j)."""
+    return jnp.transpose(a, (2, 0, 1))
+
+
+def _eye_lanes(m: int, dtype) -> JAXArray:
+    return jnp.eye(m, dtype=dtype)[:, :, None]
+
 
 def _solve_small(M: JAXArray, B: JAXArray) -> JAXArray:
-    """Batched ``solve(M, B)`` specialized for the tiny state dimensions of
-    quasiseparable models.
+    """Lane-major batched ``solve(M, B)`` for tiny state dimensions.
 
-    For m <= 3, uses the closed-form adjugate inverse — pure VPU arithmetic
-    with no LU custom-call, which both compiles and runs far faster on TPU
-    inside an associative-scan combine. Falls back to ``jnp.linalg.solve``
-    for larger m.
+    For m <= 3, the closed-form adjugate inverse — pure VPU arithmetic over
+    the lane axis with no LU custom-call. Falls back to ``jnp.linalg.solve``
+    (with layout round-trips) for larger m.
     """
-    m = M.shape[-1]
+    m = M.shape[-3]
     if m == 1:
-        return B / M[..., :1, :1]
+        return B / M[..., :1, :1, :]
     if m == 2:
-        a = M[..., 0, 0]
-        b = M[..., 0, 1]
-        c = M[..., 1, 0]
-        d = M[..., 1, 1]
-        det = a * d - b * c
-        inv = (
-            jnp.stack(
-                [
-                    jnp.stack([d, -b], axis=-1),
-                    jnp.stack([-c, a], axis=-1),
-                ],
-                axis=-2,
-            )
-            / det[..., None, None]
-        )
-        return inv @ B
+        a = M[..., 0, 0, :]
+        b = M[..., 0, 1, :]
+        c = M[..., 1, 0, :]
+        d = M[..., 1, 1, :]
+        inv_det = 1.0 / (a * d - b * c)
+        row0 = jnp.stack([d, -b], axis=-2)
+        row1 = jnp.stack([-c, a], axis=-2)
+        inv = jnp.stack([row0, row1], axis=-3) * inv_det[..., None, None, :]
+        return _mm(inv, B)
     if m == 3:
-        # Adjugate (cofactor-transpose) inverse.
-        a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
-        d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
-        g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+        a, b, c = M[..., 0, 0, :], M[..., 0, 1, :], M[..., 0, 2, :]
+        d, e, f = M[..., 1, 0, :], M[..., 1, 1, :], M[..., 1, 2, :]
+        g, h, i = M[..., 2, 0, :], M[..., 2, 1, :], M[..., 2, 2, :]
         A = e * i - f * h
         Bc = -(d * i - f * g)
         C = d * h - e * g
@@ -81,30 +143,127 @@ def _solve_small(M: JAXArray, B: JAXArray) -> JAXArray:
         G = b * f - c * e
         H = -(a * f - c * d)
         I = a * e - b * d
-        det = a * A + b * Bc + c * C
-        inv = (
-            jnp.stack(
-                [
-                    jnp.stack([A, D, G], axis=-1),
-                    jnp.stack([Bc, E, H], axis=-1),
-                    jnp.stack([C, F, I], axis=-1),
-                ],
-                axis=-2,
-            )
-            / det[..., None, None]
+        inv_det = 1.0 / (a * A + b * Bc + c * C)
+        rows = [
+            jnp.stack([A, D, G], axis=-2),
+            jnp.stack([Bc, E, H], axis=-2),
+            jnp.stack([C, F, I], axis=-2),
+        ]
+        inv = jnp.stack(rows, axis=-3) * inv_det[..., None, None, :]
+        return _mm(inv, B)
+    # General fallback: move lanes to the batch position for LAPACK-style
+    # solves, then back.
+    Mb = jnp.moveaxis(M, -1, -3)
+    Bb = jnp.moveaxis(B, -1, -3)
+    out = jnp.linalg.solve(Mb, Bb)
+    return jnp.moveaxis(out, -3, -1)
+
+
+# ---------------------------------------------------------------------------
+# The generic blocked exclusive scan (lane-major: scan axis LAST).
+# ---------------------------------------------------------------------------
+
+
+def monoid_scan(combine, identity, elems, *, reverse: bool = False):
+    """Exclusive scan of an associative ``combine`` along the LAST axis.
+
+    Args:
+        combine: ``combine(earlier, later) -> composed``, associative in
+            index order, broadcasting over any leading batch dims.
+        identity: Identity element (pytree, no lane axis; broadcastable).
+        elems: Pytree whose leaves all have the scan axis last (length N).
+        reverse: Scan right-to-left.
+
+    Returns:
+        Pytree like ``elems``: at lane k, the composition of all elements
+        strictly before (after, if reverse) k.
+
+    Strategy: split the lane axis into blocks of ``_BLOCK``; phase 1 runs
+    the block-local exclusive scan sequentially in the block position but
+    batched across all blocks on the lane axis; phase 2 recurses on the
+    per-block totals; phase 3 composes block prefixes into local states
+    with one vectorized combine.
+
+    Identity leaves must carry a singleton lane axis (e.g. ``(m, m, 1)``)
+    so they broadcast against any block width.
+    """
+    n = jax.tree_util.tree_leaves(elems)[0].shape[-1]
+
+    def seq(elems_front):
+        """Sequential exclusive scan over leading-axis-stacked elements.
+
+        Leaves have shape (steps, ..., lanes); the carry keeps the lane
+        axis.
+        """
+        ident = jax.tree_util.tree_map(
+            lambda e, i: jnp.broadcast_to(i, e.shape[1:]), elems_front, identity
         )
-        return inv @ B
-    return jnp.linalg.solve(M, B)
+
+        def step(carry, elem):
+            new = combine(elem, carry) if reverse else combine(carry, elem)
+            return new, carry
+
+        total, excl = jax.lax.scan(
+            step, ident, elems_front, reverse=reverse, unroll=_UNROLL
+        )
+        return excl, total
+
+    if n <= _SEQ_CUTOFF:
+        # Move the lane axis to the step position, keeping a singleton lane
+        # axis so the combine's lane-major contraction stays valid.
+        front = jax.tree_util.tree_map(
+            lambda x: jnp.moveaxis(x, -1, 0)[..., None], elems
+        )
+        excl, _ = seq(front)
+        return jax.tree_util.tree_map(
+            lambda x: jnp.moveaxis(x[..., 0], 0, -1), excl
+        )
+
+    num_blocks = -(-n // _BLOCK)
+    pad = num_blocks * _BLOCK - n
+
+    def pad_and_fill(x, ident_leaf):
+        if pad:
+            width = [(0, 0)] * (x.ndim - 1) + [(pad, 0) if reverse else (0, pad)]
+            x = jnp.pad(x, width)
+            idx = jnp.arange(num_blocks * _BLOCK)
+            valid = (idx >= pad) if reverse else (idx < n)
+            x = jnp.where(
+                valid, x, jnp.broadcast_to(ident_leaf, x.shape)
+            )
+        # (..., nb*c) -> (c, ..., nb): block index stays on lanes.
+        x = jnp.reshape(x, x.shape[:-1] + (num_blocks, _BLOCK))
+        return jnp.moveaxis(x, -1, 0)
+
+    blocked = jax.tree_util.tree_map(pad_and_fill, elems, identity)
+
+    # Phase 1: block-local exclusive scan, batched over blocks on lanes.
+    local_excl, totals = seq(blocked)
+
+    # Phase 2: recurse on the per-block totals (lane axis = num_blocks).
+    block_prefix = monoid_scan(combine, identity, totals, reverse=reverse)
+
+    # Phase 3: fold each block's prefix into its local states.
+    out = (
+        combine(local_excl, block_prefix)
+        if reverse
+        else combine(block_prefix, local_excl)
+    )
+
+    def unblock(x):
+        x = jnp.moveaxis(x, 0, -1)  # (..., nb, c)
+        x = jnp.reshape(x, x.shape[:-2] + (num_blocks * _BLOCK,))
+        return x[..., pad:] if (reverse and pad) else x[..., :n]
+
+    return jax.tree_util.tree_map(unblock, out)
 
 
-def _exclusive_fwd(x: JAXArray) -> JAXArray:
-    """Shift an inclusive forward scan to exclusive (prepend zero)."""
-    return jnp.concatenate((jnp.zeros_like(x[:1]), x[:-1]), axis=0)
-
-
-def _exclusive_bwd(x: JAXArray) -> JAXArray:
-    """Shift an inclusive reverse scan to exclusive (append zero)."""
-    return jnp.concatenate((x[1:], jnp.zeros_like(x[-1:])), axis=0)
+# ---------------------------------------------------------------------------
+# The three recurrences. Row-major (N-leading) API at the boundary for
+# compatibility with the QSM classes; the parallel strategy converts to
+# lane-major at entry (the transposes fuse into neighbouring computations
+# inside a jit, so nothing materializes in the padded layout).
+# ---------------------------------------------------------------------------
 
 
 def affine_scan(
@@ -120,11 +279,9 @@ def affine_scan(
     Args:
         A: Transitions, shape ``(n, m, m)``.
         B: Loads, shape ``(n, m, r)`` (or ``(n, m)`` for a single rhs).
-        reverse: If ``True``, the recurrence runs right-to-left
-            (``g_k = A_k g_{k+1} + B_k``) and the prefix is taken from the
-            right.
-        parallel: Select the associative-scan strategy (default) or the
-            sequential oracle.
+        reverse: Run right-to-left (``g_k = A_k g_{k+1} + B_k``).
+        parallel: Blocked lane-major strategy (default) or the sequential
+            oracle.
         exclusive: Return the carry *before* step k (default) rather than
             after it.
 
@@ -136,15 +293,30 @@ def affine_scan(
         B = B[..., None]
 
     if parallel:
-        def combine(left, right):
-            A_l, B_l = left
-            A_r, B_r = right
-            return A_r @ A_l, A_r @ B_l + B_r
+        Al = _to_lanes_mat(_dense_transitions(A))
+        Bl = _to_lanes_mat(B)
 
-        _, g = jax.lax.associative_scan(combine, (A, B), reverse=reverse)
+        def combine(earlier, later):
+            A_e, B_e = earlier
+            A_l, B_l = later
+            if reverse:
+                # Suffix composition: earlier map applies on the outside.
+                return _mm(A_e, A_l), _mm(A_e, B_l) + B_e
+            return _mm(A_l, A_e), _mm(A_l, B_e) + B_l
+
+        m = Al.shape[0]
+        identity = (
+            _eye_lanes(m, Al.dtype),
+            jnp.zeros(Bl.shape[:-1] + (1,), Bl.dtype),
+        )
+        excl = monoid_scan(combine, identity, (Al, Bl), reverse=reverse)
         if exclusive:
-            g = _exclusive_bwd(g) if reverse else _exclusive_fwd(g)
-        e = g
+            e = excl[1]
+        else:
+            pair = (Al, Bl)
+            incl = combine(pair, excl) if reverse else combine(excl, pair)
+            e = incl[1]
+        e = _from_lanes_mat(e)
     else:
         def step(carry, inputs):
             A_k, B_k = inputs
@@ -166,24 +338,34 @@ def congruence_scan(
 ) -> JAXArray:
     """Exclusive prefix of the congruence recurrence ``g_k = A_k g A_k^T + B_k``.
 
-    This propagates a symmetric matrix carry (e.g. the backward pass of the
-    symmetric quasiseparable inverse). Composition is associative with the
-    combine ``(A_r A_l, A_r B_l A_r^T + B_r)``.
+    Propagates a symmetric matrix carry (e.g. the backward pass of the
+    symmetric quasiseparable inverse). Associative with the combine
+    ``(A_l A_e, A_l B_e A_l^T + B_l)``.
 
     Args:
         A: Transitions, shape ``(n, m, m)``.
         B: Symmetric loads, shape ``(n, m, m)``.
         reverse: Run right-to-left and return the right-exclusive prefix.
-        parallel: Associative scan (default) or sequential oracle.
+        parallel: Blocked lane-major strategy (default) or sequential.
     """
     if parallel:
-        def combine(left, right):
-            A_l, B_l = left
-            A_r, B_r = right
-            return A_r @ A_l, A_r @ B_l @ A_r.mT + B_r
+        Al = _to_lanes_mat(_dense_transitions(A))
+        Bl = _to_lanes_mat(B)
 
-        _, g = jax.lax.associative_scan(combine, (A, B), reverse=reverse)
-        return _exclusive_bwd(g) if reverse else _exclusive_fwd(g)
+        def combine(earlier, later):
+            A_e, B_e = earlier
+            A_l, B_l = later
+            if reverse:
+                return _mm(A_e, A_l), _mm(_mm(A_e, B_l), _mT(A_e)) + B_e
+            return _mm(A_l, A_e), _mm(_mm(A_l, B_e), _mT(A_l)) + B_l
+
+        m = Al.shape[0]
+        identity = (
+            _eye_lanes(m, Al.dtype),
+            jnp.zeros((m, m, 1), Bl.dtype),
+        )
+        _, e = monoid_scan(combine, identity, (Al, Bl), reverse=reverse)
+        return _from_lanes_mat(e)
 
     def step(carry, inputs):
         A_k, B_k = inputs
@@ -215,21 +397,20 @@ def riccati_scan(
     but the carry is shared.
 
     The parallel strategy rewrites the flow in matrix-fraction form: each
-    step acts on homogeneous coordinates as a linear-fractional map encoded
-    by the triple ``(A, F, G)`` with::
+    step is the linear-fractional map encoded by the triple ``(A, F, G)``::
 
         A_k = a_k - q_k p_k^T / d_k
         F_k = q_k q_k^T / d_k
         G_k = -p_k p_k^T / d_k
 
-    and two such maps merge through ``M = I + F_l @ G_r``::
+    and two maps merge through ``M = I + F_e @ G_l``::
 
-        A = A_r M^{-1} A_l
-        F = F_r + A_r M^{-1} F_l A_r^T
-        G = G_l + A_l^T M^{-T} G_r A_l
+        A = A_l M^{-1} A_e
+        F = F_l + A_l M^{-1} F_e A_l^T
+        G = G_e + A_e^T M^{-T} G_l A_e
 
-    which is associative, so ``lax.associative_scan`` evaluates all prefixes
-    in O(log N) depth at the cost of m×m solves per merge.
+    which is associative, so the blocked scan evaluates all prefixes in
+    ~64 log_64 N depth at the cost of m×m solves per merge.
     """
     if not parallel:
         def step(F, inputs):
@@ -244,20 +425,46 @@ def riccati_scan(
         return F
 
     m = p.shape[1]
-    eye = jnp.eye(m, dtype=p.dtype)
-    inv_d = 1.0 / d
-    A0 = a - jnp.einsum("n,nj,nk->njk", inv_d, q, p)
-    F0 = jnp.einsum("n,nj,nk->njk", inv_d, q, q)
-    G0 = -jnp.einsum("n,nj,nk->njk", inv_d, p, p)
+    pl = p.T  # (m, N)
+    ql = q.T
+    al = _to_lanes_mat(_dense_transitions(a))
+    inv_d = 1.0 / d  # (N,)
 
-    def combine(left, right):
-        A_l, F_l, G_l = left
-        A_r, F_r, G_r = right
-        M = eye + F_l @ G_r
-        A = A_r @ _solve_small(M, A_l)
-        F = F_r + A_r @ _solve_small(M, F_l) @ A_r.mT
-        G = G_l + A_l.mT @ _solve_small(M.mT, G_r) @ A_l
+    def outer(u, v):
+        return u[:, None, :] * v[None, :, :]
+
+    A0 = al - outer(ql, pl) * inv_d
+    F0 = outer(ql, ql) * inv_d
+    G0 = -outer(pl, pl) * inv_d
+    eye = _eye_lanes(m, pl.dtype)
+
+    def combine(earlier, later):
+        A_e, F_e, G_e = earlier
+        A_l, F_l, G_l = later
+        M = eye + _mm(F_e, G_l)
+        A = _mm(A_l, _solve_small(M, A_e))
+        F = F_l + _mm(_mm(A_l, _solve_small(M, F_e)), _mT(A_l))
+        G = G_e + _mm(_mm(_mT(A_e), _solve_small(_mT(M), G_l)), A_e)
         return A, F, G
 
-    _, F, _ = jax.lax.associative_scan(combine, (A0, F0, G0))
-    return _exclusive_fwd(F)
+    identity = (
+        _eye_lanes(m, pl.dtype),
+        jnp.zeros((m, m, 1), pl.dtype),
+        jnp.zeros((m, m, 1), pl.dtype),
+    )
+    _, F, _ = monoid_scan(combine, identity, (A0, F0, G0))
+    return _from_lanes_mat(F)
+
+
+def _dense_transitions(A: JAXArray) -> JAXArray:
+    """Densify lazily block-diagonal transitions for the parallel strategy.
+
+    The blocked monoid scan composes transition products whose intermediate
+    results are dense anyway, so the lazy Block structure buys nothing
+    there (the sequential strategy keeps Blocks lazy).
+    """
+    from tinygp_tpu.solvers.quasisep.block import Block, ensure_dense
+
+    if isinstance(A, Block):
+        return jax.vmap(ensure_dense)(A)
+    return A
