@@ -11,6 +11,15 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
 value = evaluations/second on this chip and vs_baseline = baseline_time /
 our_time (>1 means faster than the baseline).
 
+Timing methodology: the device in this environment is reached through a
+tunnel whose ``block_until_ready`` does not reliably wait for execution and
+which can serve value-identical dispatches from cache. Each measurement
+therefore runs a **serial, value-chained ``lax.fori_loop`` inside one jit**
+(every iteration perturbs the parameters through the carry, so iterations
+are distinct and strictly ordered), forces a scalar fetch of the result,
+and cancels fixed overhead (tunnel round trip, dispatch) by differencing a
+k-iteration and a 2k-iteration loop.
+
 Extra diagnostic timings (dense path, gradient path, other N) go to
 BENCH_DETAILS.json.
 """
@@ -26,21 +35,40 @@ N_MAIN = 100_000
 BASELINE_SECONDS = 8.49e-3  # celerite2 C++ (1-thread CPU), N=1e5, BASELINE.md
 
 
-def _timeit(fn, *args, repeats=50, warmup=2):
-    """Per-call device time via queued dispatch.
+def device_seconds_per_eval(fn, params, *args, iters=50):
+    """Per-evaluation device time of ``fn(params, *args) -> scalar``.
 
-    Executions are enqueued asynchronously and synchronized once at the
-    end: per-call host<->device round trips (tens of ms through tunneled
-    device access) would otherwise dominate and hide the true device time.
-    Queued timing also matches how the samplers consume this kernel —
-    thousands of steps inside one jitted scan with no host sync.
+    Chains the parameters on the loop carry so every iteration computes
+    distinct values and must execute serially; differences two loop lengths
+    so constant overhead cancels exactly.
     """
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(repeats)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / repeats
+
+    def make(n):
+        @jax.jit
+        def run(params, *args):
+            def body(i, carry):
+                p = jax.tree_util.tree_map(
+                    lambda x: x * (1.0 + 1e-6 * jnp.tanh(carry)), params
+                )
+                return carry + 1e-6 * jnp.tanh(fn(p, *args))
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        return run
+
+    run1, run2 = make(iters), make(2 * iters)
+
+    def timed(run):
+        float(run(params, *args))  # compile + warm
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(params, *args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = timed(run1), timed(run2)
+    return max((t2 - t1) / iters, 1e-9)
 
 
 def main():
@@ -55,20 +83,26 @@ def main():
     X = jnp.asarray(np.sort(rng.uniform(0, 10, N_MAIN)), dtype=jnp.float32)
     y = jnp.asarray(rng.normal(size=N_MAIN), dtype=jnp.float32)
 
-    @jax.jit
     def quasisep_loglik(params, X, y):
         kernel = params["amp"] * quasisep.Matern32(scale=params["scale"])
         gp = GaussianProcess(kernel, X, diag=0.1, assume_sorted=True)
         return gp.log_probability(y)
 
     params = {"amp": jnp.float32(1.5), "scale": jnp.float32(2.5)}
-    t_main = _timeit(quasisep_loglik, params, X, y)
+    t_main = device_seconds_per_eval(quasisep_loglik, params, X, y, iters=100)
     details["quasisep_loglik_n1e5_s"] = t_main
-    details["quasisep_loglik_n1e5_value"] = float(quasisep_loglik(params, X, y))
+    details["quasisep_loglik_n1e5_value"] = float(
+        jax.jit(quasisep_loglik)(params, X, y)
+    )
 
     # --- diagnostics: gradient at N=1e5 ---
-    grad_fn = jax.jit(jax.grad(quasisep_loglik))
-    details["quasisep_grad_n1e5_s"] = _timeit(grad_fn, params, X, y)
+    def gsum(params, X, y):
+        g = jax.grad(quasisep_loglik)(params, X, y)
+        return g["amp"] + g["scale"]
+
+    details["quasisep_grad_n1e5_s"] = device_seconds_per_eval(
+        gsum, params, X, y, iters=50
+    )
 
     # --- diagnostics: N = 1e6 quasisep ---
     try:
@@ -76,8 +110,11 @@ def main():
             np.sort(rng.uniform(0, 10, 1_000_000)), dtype=jnp.float32
         )
         y6 = jnp.asarray(rng.normal(size=1_000_000), dtype=jnp.float32)
-        details["quasisep_loglik_n1e6_s"] = _timeit(
-            quasisep_loglik, params, X6, y6, repeats=10
+        details["quasisep_loglik_n1e6_s"] = device_seconds_per_eval(
+            quasisep_loglik, params, X6, y6, iters=20
+        )
+        details["quasisep_grad_n1e6_s"] = device_seconds_per_eval(
+            gsum, params, X6, y6, iters=10
         )
     except Exception as exc:  # noqa: BLE001 - record and continue
         details["quasisep_loglik_n1e6_s"] = f"failed: {exc}"
@@ -87,7 +124,6 @@ def main():
         Xd = jnp.asarray(np.sort(rng.uniform(0, 10, 10_000)), dtype=jnp.float32)
         yd = jnp.asarray(rng.normal(size=10_000), dtype=jnp.float32)
 
-        @jax.jit
         def dense_loglik(params, X, y):
             kernel = params["amp"] * dense_kernels.Matern32(
                 scale=params["scale"]
@@ -95,8 +131,8 @@ def main():
             gp = GaussianProcess(kernel, X, diag=0.1)
             return gp.log_probability(y)
 
-        details["dense_loglik_n1e4_s"] = _timeit(
-            dense_loglik, params, Xd, yd, repeats=10
+        details["dense_loglik_n1e4_s"] = device_seconds_per_eval(
+            dense_loglik, params, Xd, yd, iters=10
         )
         details["dense_loglik_n1e4_vs_a100"] = 46e-3 / details[
             "dense_loglik_n1e4_s"
