@@ -7,15 +7,33 @@ code written against tinygp keeps working.
 
 from __future__ import annotations
 
-__all__ = ["JAXArray", "dataclass", "field"]
+__all__ = ["JAXArray", "dataclass", "field", "pdot"]
 
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 
 from tinygp_tpu.utils.module import field as field
 
 JAXArray = jax.Array
+
+
+def pdot(x: JAXArray, y: JAXArray) -> JAXArray:
+    """Precision-pinned matmul for the solver hot paths.
+
+    TPUs demote f32 matmul operands to bf16 by default (8 mantissa bits).
+    The GP solvers' contractions are small (state dimension <= 8) but
+    cancellation-heavy — log-likelihood gradients at N=5e3 came out with
+    the wrong *sign* under the default precision — so every structural
+    contraction goes through true-f32 accumulation. For these tiny shapes
+    the cost is negligible (they are VPU-bound either way).
+    """
+    if hasattr(x, "blocks") or hasattr(y, "blocks"):
+        # Lazy block-diagonal operands own their matmul; their per-block
+        # products are precision-pinned inside Block.
+        return x @ y
+    return jnp.matmul(x, y, precision=jax.lax.Precision.HIGHEST)
 
 
 def dataclass(cls: type[Any]) -> type[Any]:

@@ -33,7 +33,7 @@ from typing import TYPE_CHECKING, Any
 import jax
 import jax.numpy as jnp
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import JAXArray, pdot
 from tinygp_tpu.utils.module import Module, field, static_field
 
 if TYPE_CHECKING:
@@ -151,12 +151,12 @@ class Conditioned(Kernel):
         k_vec = jax.vmap(self.kernel.evaluate, in_axes=(0, None))
         A1 = self.solver.solve_triangular(k_vec(self.X, X1))
         A2 = self.solver.solve_triangular(k_vec(self.X, X2))
-        return self.kernel.evaluate(X1, X2) - A1.T @ A2
+        return self.kernel.evaluate(X1, X2) - pdot(A1.T, A2)
 
     def evaluate_diag(self, X: JAXArray) -> JAXArray:
         k_vec = jax.vmap(self.kernel.evaluate, in_axes=(0, None))
         A = self.solver.solve_triangular(k_vec(self.X, X))
-        return self.kernel.evaluate_diag(X) - A.T @ A
+        return self.kernel.evaluate_diag(X) - pdot(A.T, A)
 
 
 class Custom(Kernel):

@@ -62,6 +62,21 @@ def _mT(matrix: JAXArray) -> JAXArray:
     return jnp.swapaxes(matrix, -1, -2)
 
 
+def _vm(v: JAXArray, M: JAXArray) -> JAXArray:
+    """Row-batched ``v @ M`` as mul+reduce, never a ``dot_general``.
+
+    ``v`` is ``(n, m)``; ``M`` is ``(m, k)`` or batched ``(n, m, k)``.
+    Observation-model stacks are often constant broadcasts, and a TPU
+    ``dot`` with a broadcast/select producer crashes the chipless AOT
+    compile helper's fusion cost model (SIGILL in
+    ``TpuPriorityFusionQueue::NormalizedComputationCost``). For the tiny
+    state dimensions here a fused multiply-reduce is also at least as fast
+    as an MXU dispatch.
+    """
+    M = ensure_dense(M)
+    return jnp.sum(v[..., :, None] * M, axis=-2)
+
+
 def _anchor(h: JAXArray, t: JAXArray) -> JAXArray:
     """Tie a (possibly input-independent) generator array to the inputs.
 
@@ -116,9 +131,9 @@ class Quasisep(Kernel):
         a = _mT(jax.vmap(self.transition_matrix)(X_prev, X))
         t = jax.vmap(self.coord_to_sortable)(X)
         h = _anchor(jax.vmap(self.observation_model)(X), t)
-        q = h @ Pinf  # Pinf symmetric: also the forward generator
+        q = _vm(h, Pinf)  # Pinf symmetric: also the forward generator
         d = jnp.sum(q * h, axis=1)
-        p = jax.vmap(lambda hk, ak: hk @ ak)(h, a)
+        p = _vm(h, a)
         return SymmQSM(
             diag=DiagQSM(d=d), lower=StrictLowerTriQSM(p=p, q=q, a=a)
         )
@@ -138,8 +153,8 @@ class Quasisep(Kernel):
         h1 = _anchor(jax.vmap(self.observation_model)(X1), t1)
         h2 = _anchor(jax.vmap(self.observation_model)(X2), t2)
 
-        ql = h2 @ _mT(Pinf)
-        qu = h1 @ Pinf
+        ql = _vm(h2, _mT(Pinf))
+        qu = _vm(h1, Pinf)
         n2 = jax.tree_util.tree_leaves(X2)[0].shape[0]
 
         # Propagate each row's generator to/from its anchor column.
@@ -148,14 +163,14 @@ class Quasisep(Kernel):
             lambda x: jnp.asarray(x)[anchor], X2
         )
         trans_past = jax.vmap(self.transition_matrix)(X_anchor, X1)
-        pl = jax.vmap(lambda hk, tk: hk @ tk.T)(h1, trans_past)
+        pl = _vm(h1, _mT(ensure_dense(trans_past)))
 
         anchor = jnp.clip(idx + 1, 0, n2 - 1)
         X_anchor = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x)[anchor], X2
         )
         trans_future = jax.vmap(self.transition_matrix)(X1, X_anchor)
-        qu = jax.vmap(lambda gk, tk: gk @ tk)(qu, trans_future)
+        qu = _vm(qu, ensure_dense(trans_future))
 
         return GeneralQSM(pl=pl, ql=ql, pu=h2, qu=qu, a=a, idx=idx)
 
@@ -221,13 +236,20 @@ class Quasisep(Kernel):
         h2 = self.observation_model(X2)
         t1 = self.coord_to_sortable(X1)
         t2 = self.coord_to_sortable(X2)
-        fwd = h2 @ ensure_dense(self.transition_matrix(X1, X2)).T @ Pinf @ h1
-        bwd = h1 @ ensure_dense(self.transition_matrix(X2, X1)).T @ Pinf @ h2
+
+        def form(ha, hb, trans):
+            # mul+reduce instead of chained dots: see _vm.
+            v = jnp.sum(ha[:, None] * ensure_dense(trans).T, axis=0)
+            return jnp.sum(jnp.sum(v[:, None] * Pinf, axis=0) * hb)
+
+        fwd = form(h2, h1, self.transition_matrix(X1, X2))
+        bwd = form(h1, h2, self.transition_matrix(X2, X1))
         return jnp.where(t1 < t2, fwd, bwd)
 
     def evaluate_diag(self, X: JAXArray) -> JAXArray:
         h = self.observation_model(X)
-        return h @ ensure_dense(self.stationary_covariance()) @ h
+        Pinf = ensure_dense(self.stationary_covariance())
+        return jnp.sum(jnp.sum(h[:, None] * Pinf, axis=0) * h)
 
 
 class Wrapper(Quasisep):

@@ -16,7 +16,7 @@ from typing import TYPE_CHECKING
 import jax.numpy as jnp
 import numpy as np
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import JAXArray, pdot
 from tinygp_tpu.utils.module import Module
 
 if TYPE_CHECKING:
@@ -107,7 +107,7 @@ class Dense(Noise):
         return other + self.value
 
     def __matmul__(self, other: JAXArray) -> JAXArray:
-        return self.value @ other
+        return pdot(self.value, other)
 
     def to_qsm(self) -> SymmQSM | DiagQSM:
         raise NotImplementedError(

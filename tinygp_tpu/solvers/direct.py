@@ -79,7 +79,9 @@ class DirectSolver(Solver):
         )
 
     def dot_triangular(self, y: JAXArray) -> JAXArray:
-        return jnp.einsum("ij,j...->i...", self.scale_tril, y)
+        return jnp.einsum(
+            "ij,j...->i...", self.scale_tril, y, precision="highest"
+        )
 
     def condition(
         self, kernel: kernels.Kernel, X_test: JAXArray | None, noise: Noise
@@ -92,4 +94,4 @@ class DirectSolver(Solver):
             Ks = kernel(self.X, X_test)
             Kss = kernel(X_test, X_test) + noise
         A = self.solve_triangular(Ks)
-        return Kss - A.T @ A
+        return Kss - jnp.matmul(A.T, A, precision="highest")

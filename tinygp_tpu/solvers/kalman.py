@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import JAXArray, pdot
 from tinygp_tpu.kernels.base import Kernel
 from tinygp_tpu.noise import Diagonal, Noise
 from tinygp_tpu.solvers.quasisep.block import ensure_dense
@@ -57,7 +57,11 @@ class KalmanSolver(Solver):
         X_prev = jax.tree_util.tree_map(
             lambda x: jnp.append(x[0], x[:-1]), X
         )
-        A = jax.vmap(kernel.transition_matrix)(X_prev, X)
+        # Densify lazily-blocked transitions (e.g. from Sum kernels): the
+        # precision-pinned contractions below take plain arrays.
+        A = jax.vmap(
+            lambda x1, x2: ensure_dense(kernel.transition_matrix(x1, x2))
+        )(X_prev, X)
         t = jax.vmap(kernel.coord_to_sortable)(X)
         H = jax.vmap(kernel.observation_model)(X)
         # Tie to the inputs so constant observation models don't become
@@ -102,9 +106,9 @@ def kalman_gains(
 
     def step(P, inputs):
         A_k, h_k, d_k = inputs
-        P_pred = Pinf + A_k.T @ (P - Pinf) @ A_k
-        Ph = P_pred @ h_k
-        s_k = h_k @ Ph + d_k
+        P_pred = Pinf + pdot(pdot(A_k.T, P - Pinf), A_k)
+        Ph = pdot(P_pred, h_k)
+        s_k = pdot(h_k, Ph) + d_k
         K_k = Ph / s_k
         P_post = P_pred - s_k * jnp.outer(K_k, K_k)
         return P_post, (s_k, K_k)
@@ -120,8 +124,8 @@ def kalman_filter(
 
     def step(m, inputs):
         A_k, h_k, K_k, y_k = inputs
-        m_pred = A_k.T @ m
-        v_k = y_k - h_k @ m_pred
+        m_pred = pdot(A_k.T, m)
+        v_k = y_k - pdot(h_k, m_pred)
         m_post = m_pred + K_k * v_k
         return m_post, v_k
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.scipy.linalg import block_diag
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import JAXArray, pdot
 from tinygp_tpu.utils.module import Module
 
 
@@ -104,7 +104,7 @@ class Block(Module):
 
     def __matmul__(self, other: Any) -> Any:
         if isinstance(other, Block):
-            return Block(*(b1 @ b2 for b1, b2 in self._zip_blocks(other)))
+            return Block(*(pdot(b1, b2) for b1, b2 in self._zip_blocks(other)))
         ndim = np.ndim(other)
         assert ndim >= 1
         idx = 0
@@ -116,7 +116,7 @@ class Block(Module):
                 if ndim == 1
                 else other[..., idx : idx + size, :]
             )
-            outs.append(b @ piece)
+            outs.append(pdot(b, piece))
             idx += size
         return jnp.concatenate(outs, axis=0 if ndim == 1 else -2)
 
@@ -125,6 +125,6 @@ class Block(Module):
         outs = []
         for b in self.blocks:
             size = np.shape(b)[-2]
-            outs.append(other[..., idx : idx + size] @ b)
+            outs.append(pdot(other[..., idx : idx + size], b))
             idx += size
         return jnp.concatenate(outs, axis=-1)

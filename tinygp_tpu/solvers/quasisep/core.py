@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import block_diag
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import JAXArray, pdot
 from tinygp_tpu.solvers.quasisep.block import ensure_dense
 from tinygp_tpu.utils.module import Module
 
@@ -386,16 +386,16 @@ class SquareQSM(QSM):
 
         def forward(f, inputs):
             d_k, p_k, q_k, a_k, g_k, h_k, b_k = inputs
-            fh = f @ h_k
-            fbT = f @ b_k.T
-            left = q_k - a_k @ fh
-            right = g_k - p_k @ fbT
-            ig = 1.0 / (d_k - p_k @ fh)
+            fh = pdot(f, h_k)
+            fbT = pdot(f, b_k.T)
+            left = q_k - pdot(a_k, fh)
+            right = g_k - pdot(p_k, fbT)
+            ig = 1.0 / (d_k - pdot(p_k, fh))
             s = ig * left
             ell = a_k - jnp.outer(s, p_k)
             v = ig * right
             delta = b_k - jnp.outer(v, h_k)
-            f_next = a_k @ fbT + ig * jnp.outer(left, right)
+            f_next = pdot(a_k, fbT) + ig * jnp.outer(left, right)
             return f_next, (ig, s, ell, v, delta)
 
         init = jnp.zeros((q.shape[1], g.shape[1]), dtype=q.dtype)
@@ -405,13 +405,13 @@ class SquareQSM(QSM):
 
         def backward(z, inputs):
             ig_k, p_k, a_k, h_k, b_k, s_k, v_k = inputs
-            zs = z @ s_k
-            za = z @ a_k
-            lam = ig_k + v_k @ zs
-            t = v_k @ za - lam * p_k
-            u = b_k.T @ zs - lam * h_k
+            zs = pdot(z, s_k)
+            za = pdot(z, a_k)
+            lam = ig_k + pdot(v_k, zs)
+            t = pdot(v_k, za) - lam * p_k
+            u = pdot(b_k.T, zs) - lam * h_k
             z_prev = (
-                b_k.T @ za
+                pdot(b_k.T, za)
                 - jnp.outer(u + lam * h_k, p_k)
                 - jnp.outer(h_k, t)
             )

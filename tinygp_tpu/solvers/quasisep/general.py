@@ -69,7 +69,7 @@ class GeneralQSM(Module):
         # reads f at its anchor column idx_i.
         f = affine_scan(
             self.a,
-            jnp.einsum("nj,nk->njk", self.ql, x),
+            jnp.einsum("nj,nk->njk", self.ql, x, precision="highest"),
             parallel=False,
             exclusive=False,
         )
@@ -88,7 +88,7 @@ class GeneralQSM(Module):
         )
         g = affine_scan(
             a_next.mT,
-            jnp.einsum("nj,nk->njk", self.pu, x),
+            jnp.einsum("nj,nk->njk", self.pu, x, precision="highest"),
             reverse=True,
             parallel=False,
             exclusive=False,

@@ -38,7 +38,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import JAXArray, pdot
 from tinygp_tpu.solvers.quasisep.block import ensure_dense
 from tinygp_tpu.solvers.quasisep.scan import (
     affine_scan,
@@ -55,12 +55,12 @@ from tinygp_tpu.solvers.quasisep.scan import (
 
 def _outer_rows(u: JAXArray, x: JAXArray) -> JAXArray:
     """Per-row outer products: (n, m) x (n, r) -> (n, m, r)."""
-    return jnp.einsum("nj,nk->njk", u, x)
+    return jnp.einsum("nj,nk->njk", u, x, precision="highest")
 
 
 def _contract_rows(u: JAXArray, e: JAXArray) -> JAXArray:
     """Per-row contractions: (n, m) x (n, m, r) -> (n, r)."""
-    return jnp.einsum("nj,njk->nk", u, e)
+    return jnp.einsum("nj,njk->nk", u, e, precision="highest")
 
 
 @partial(jax.jit, static_argnames=("parallel",))
@@ -116,9 +116,9 @@ def symm_cholesky(d, p, q, a, *, parallel: bool = False):
     F = riccati_scan(d, p, q, a, parallel=parallel)
 
     def emit(F_k, d_k, p_k, q_k, a_k):
-        Fp = F_k @ p_k
-        c = jnp.sqrt(d_k - p_k @ Fp)
-        w = (q_k - a_k @ Fp) / c
+        Fp = pdot(F_k, p_k)
+        c = jnp.sqrt(d_k - pdot(p_k, Fp))
+        w = (q_k - pdot(a_k, Fp)) / c
         return c, w
 
     return jax.vmap(emit)(F, d, p, q, a)
@@ -137,21 +137,21 @@ def symm_solve_generators(d, p, q, a, *, parallel: bool = False):
     F = riccati_scan(d, p, q, a, parallel=parallel)
 
     def fwd_emit(F_k, d_k, p_k, q_k, a_k):
-        Fp = F_k @ p_k
-        ig = 1.0 / (d_k - p_k @ Fp)
-        s = ig * (q_k - a_k @ Fp)
+        Fp = pdot(F_k, p_k)
+        ig = 1.0 / (d_k - pdot(p_k, Fp))
+        s = ig * (q_k - pdot(a_k, Fp))
         ell = a_k - jnp.outer(s, p_k)
         return ig, s, ell
 
     ig, s, ell = jax.vmap(fwd_emit)(F, d, p, q, a)
 
-    B = jnp.einsum("n,nj,nk->njk", ig, p, p)
+    B = jnp.einsum("n,nj,nk->njk", ig, p, p, precision="highest")
     z = congruence_scan(ell.mT, B, reverse=True, parallel=parallel)
 
     def bwd_emit(z_k, ig_k, p_k, a_k, s_k):
-        sz = s_k @ z_k
-        lam = ig_k + sz @ s_k
-        t = sz @ a_k - lam * p_k
+        sz = pdot(s_k, z_k)
+        lam = ig_k + pdot(sz, s_k)
+        t = pdot(sz, a_k) - lam * p_k
         return lam, t
 
     lam, t = jax.vmap(bwd_emit)(z, ig, p, a, s)
@@ -311,7 +311,7 @@ def _coupling_scan(A, Bt, C, *, reverse: bool = False):
 
     def step(carry, inputs):
         A_k, Bt_k, C_k = inputs
-        return A_k @ carry @ Bt_k.T + C_k, carry
+        return pdot(pdot(A_k, carry), Bt_k.T) + C_k, carry
 
     init = jnp.zeros_like(C[0])
     _, e = jax.lax.scan(step, init, (A, Bt, C), reverse=reverse)

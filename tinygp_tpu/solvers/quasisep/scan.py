@@ -48,7 +48,7 @@ __all__ = ["affine_scan", "congruence_scan", "riccati_scan", "monoid_scan"]
 import jax
 import jax.numpy as jnp
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import JAXArray, pdot
 
 # Sequential steps per level of the blocked scan. Each step is batched over
 # N/_BLOCK lanes, so bigger blocks mean fewer lanes but less recursion.
@@ -88,7 +88,7 @@ def _mm(A: JAXArray, B: JAXArray) -> JAXArray:
                 cols.append(acc)
             rows.append(jnp.stack(cols, axis=-2))
         return jnp.stack(rows, axis=-3)
-    return jnp.einsum("...ijn,...jkn->...ikn", A, B)
+    return jnp.einsum("...ijn,...jkn->...ikn", A, B, precision="highest")
 
 
 def _mT(A: JAXArray) -> JAXArray:
@@ -266,6 +266,106 @@ def monoid_scan(combine, identity, elems, *, reverse: bool = False):
 # ---------------------------------------------------------------------------
 
 
+def _affine_impl(
+    A: JAXArray, B: JAXArray, *, reverse: bool, exclusive: bool
+) -> JAXArray:
+    """Blocked lane-major strategy for the affine recurrence (dense A)."""
+    Al = _to_lanes_mat(A)
+    Bl = _to_lanes_mat(B)
+
+    def combine(earlier, later):
+        A_e, B_e = earlier
+        A_l, B_l = later
+        if reverse:
+            # Suffix composition: earlier map applies on the outside.
+            return _mm(A_e, A_l), _mm(A_e, B_l) + B_e
+        return _mm(A_l, A_e), _mm(A_l, B_e) + B_l
+
+    m = Al.shape[0]
+    identity = (
+        _eye_lanes(m, Al.dtype),
+        jnp.zeros(Bl.shape[:-1] + (1,), Bl.dtype),
+    )
+    excl = monoid_scan(combine, identity, (Al, Bl), reverse=reverse)
+    if exclusive:
+        e = excl[1]
+    else:
+        pair = (Al, Bl)
+        incl = combine(pair, excl) if reverse else combine(excl, pair)
+        e = incl[1]
+    return _from_lanes_mat(e)
+
+
+def _shift_transitions(A: JAXArray, reverse: bool) -> JAXArray:
+    """``A~_k = A_{k+1}`` (forward) or ``A_{k-1}`` (reverse), identity fill.
+
+    The adjoint of an *inclusive* affine/congruence scan couples state k to
+    the output at k and to state k -/+ 1 through the *next* transition, so
+    the backward recurrence consumes transitions shifted by one step.
+    """
+    eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A[:1].shape)
+    if reverse:
+        return jnp.concatenate([eye, A[:-1]], axis=0)
+    return jnp.concatenate([A[1:], eye], axis=0)
+
+
+def _shift_outputs(e: JAXArray, reverse: bool) -> JAXArray:
+    """Turn inclusive outputs ``g_k`` into exclusive ones (zero fill)."""
+    zero = jnp.zeros_like(e[:1])
+    if reverse:
+        return jnp.concatenate([e[1:], zero], axis=0)
+    return jnp.concatenate([zero, e[:-1]], axis=0)
+
+
+def _make_affine_parallel(reverse: bool, exclusive: bool):
+    """Parallel affine scan with a hand-written transpose.
+
+    JAX's AD of the blocked multi-level scan stores residuals at every
+    level and phase; the hand-written VJP replaces all of that with one
+    opposite-direction affine scan (the true transpose of a linear
+    recurrence) plus elementwise outer products:
+
+        gbar_k = A~_{k+1}^T gbar_{k+1} + ebar_{k(+1)}   [opposite direction]
+        Bbar_k = gbar_k
+        Abar_k = gbar_k g_{k-1}^T
+
+    (indices shown for the forward scan; reverse mirrors). The backward
+    calls the *plain* implementation, so higher-order AD still works.
+    """
+
+    @jax.custom_vjp
+    def scan(A, B):
+        return _affine_impl(A, B, reverse=reverse, exclusive=exclusive)
+
+    def fwd(A, B):
+        e = _affine_impl(A, B, reverse=reverse, exclusive=exclusive)
+        return e, (A, e)
+
+    def bwd(res, ebar):
+        A, e = res
+        At = jnp.swapaxes(A, -1, -2)
+        if not exclusive:
+            At = _shift_transitions(At, reverse)
+        gbar = _affine_impl(At, ebar, reverse=not reverse, exclusive=exclusive)
+        e_excl = e if exclusive else _shift_outputs(e, reverse)
+        # Outer products in lane-major layout: (N, m, r) arrays with tiny
+        # trailing dims pad ~256x in TPU tiles, so contract with N on lanes.
+        Abar = _from_lanes_mat(
+            _mm(_to_lanes_mat(gbar), _mT(_to_lanes_mat(e_excl)))
+        )
+        return Abar, gbar
+
+    scan.defvjp(fwd, bwd)
+    return scan
+
+
+_AFFINE_PARALLEL = {
+    (rev, exc): _make_affine_parallel(rev, exc)
+    for rev in (False, True)
+    for exc in (False, True)
+}
+
+
 def affine_scan(
     A: JAXArray,
     B: JAXArray,
@@ -293,40 +393,80 @@ def affine_scan(
         B = B[..., None]
 
     if parallel:
-        Al = _to_lanes_mat(_dense_transitions(A))
-        Bl = _to_lanes_mat(B)
-
-        def combine(earlier, later):
-            A_e, B_e = earlier
-            A_l, B_l = later
-            if reverse:
-                # Suffix composition: earlier map applies on the outside.
-                return _mm(A_e, A_l), _mm(A_e, B_l) + B_e
-            return _mm(A_l, A_e), _mm(A_l, B_e) + B_l
-
-        m = Al.shape[0]
-        identity = (
-            _eye_lanes(m, Al.dtype),
-            jnp.zeros(Bl.shape[:-1] + (1,), Bl.dtype),
-        )
-        excl = monoid_scan(combine, identity, (Al, Bl), reverse=reverse)
-        if exclusive:
-            e = excl[1]
-        else:
-            pair = (Al, Bl)
-            incl = combine(pair, excl) if reverse else combine(excl, pair)
-            e = incl[1]
-        e = _from_lanes_mat(e)
+        e = _AFFINE_PARALLEL[(reverse, exclusive)](_dense_transitions(A), B)
     else:
         def step(carry, inputs):
             A_k, B_k = inputs
-            new = A_k @ carry + B_k
+            new = pdot(A_k, carry) + B_k
             return new, (carry if exclusive else new)
 
         init = jnp.zeros_like(B[0])
         _, e = jax.lax.scan(step, init, (A, B), reverse=reverse)
 
     return e[..., 0] if squeeze else e
+
+
+def _congruence_impl(A: JAXArray, B: JAXArray, *, reverse: bool) -> JAXArray:
+    """Blocked lane-major strategy for the congruence recurrence (dense A)."""
+    Al = _to_lanes_mat(A)
+    Bl = _to_lanes_mat(B)
+
+    def combine(earlier, later):
+        A_e, B_e = earlier
+        A_l, B_l = later
+        if reverse:
+            return _mm(A_e, A_l), _mm(_mm(A_e, B_l), _mT(A_e)) + B_e
+        return _mm(A_l, A_e), _mm(_mm(A_l, B_e), _mT(A_l)) + B_l
+
+    m = Al.shape[0]
+    identity = (
+        _eye_lanes(m, Al.dtype),
+        jnp.zeros((m, m, 1), Bl.dtype),
+    )
+    _, e = monoid_scan(combine, identity, (Al, Bl), reverse=reverse)
+    return _from_lanes_mat(e)
+
+
+def _make_congruence_parallel(reverse: bool):
+    """Parallel congruence scan with a hand-written transpose.
+
+    The congruence recurrence is linear in the carry, so its adjoint is an
+    opposite-direction congruence scan with transposed transitions:
+
+        gbar_k = A_{k+1}^T gbar_{k+1} A_{k+1} + ebar_{k+1}
+        Bbar_k = gbar_k
+        Abar_k = (gbar_k + gbar_k^T) A_k g_{k-1}
+
+    (forward-scan indices; g_{k-1} = the exclusive output e_k, symmetric).
+    """
+
+    @jax.custom_vjp
+    def scan(A, B):
+        return _congruence_impl(A, B, reverse=reverse)
+
+    def fwd(A, B):
+        e = _congruence_impl(A, B, reverse=reverse)
+        return e, (A, e)
+
+    def bwd(res, ebar):
+        A, e = res
+        At = jnp.swapaxes(A, -1, -2)
+        gbar = _congruence_impl(At, ebar, reverse=not reverse)
+        # Lane-major algebra (see affine bwd note on TPU tile padding).
+        gl = _to_lanes_mat(gbar)
+        S = gl + _mT(gl)
+        Abar = _from_lanes_mat(
+            _mm(_mm(S, _to_lanes_mat(A)), _to_lanes_mat(e))
+        )
+        return Abar, gbar
+
+    scan.defvjp(fwd, bwd)
+    return scan
+
+
+_CONGRUENCE_PARALLEL = {
+    rev: _make_congruence_parallel(rev) for rev in (False, True)
+}
 
 
 def congruence_scan(
@@ -349,27 +489,11 @@ def congruence_scan(
         parallel: Blocked lane-major strategy (default) or sequential.
     """
     if parallel:
-        Al = _to_lanes_mat(_dense_transitions(A))
-        Bl = _to_lanes_mat(B)
-
-        def combine(earlier, later):
-            A_e, B_e = earlier
-            A_l, B_l = later
-            if reverse:
-                return _mm(A_e, A_l), _mm(_mm(A_e, B_l), _mT(A_e)) + B_e
-            return _mm(A_l, A_e), _mm(_mm(A_l, B_e), _mT(A_l)) + B_l
-
-        m = Al.shape[0]
-        identity = (
-            _eye_lanes(m, Al.dtype),
-            jnp.zeros((m, m, 1), Bl.dtype),
-        )
-        _, e = monoid_scan(combine, identity, (Al, Bl), reverse=reverse)
-        return _from_lanes_mat(e)
+        return _CONGRUENCE_PARALLEL[reverse](_dense_transitions(A), B)
 
     def step(carry, inputs):
         A_k, B_k = inputs
-        return A_k @ carry @ A_k.T + B_k, carry
+        return pdot(pdot(A_k, carry), A_k.T) + B_k, carry
 
     init = jnp.zeros_like(B[0])
     _, e = jax.lax.scan(step, init, (A, B), reverse=reverse)
@@ -415,15 +539,93 @@ def riccati_scan(
     if not parallel:
         def step(F, inputs):
             d_k, p_k, q_k, a_k = inputs
-            c2 = d_k - p_k @ F @ p_k
-            u = q_k - a_k @ F @ p_k
-            F_next = a_k @ F @ a_k.T + jnp.outer(u, u) / c2
+            Fp = pdot(F, p_k)
+            c2 = d_k - pdot(p_k, Fp)
+            u = q_k - pdot(a_k, Fp)
+            F_next = pdot(pdot(a_k, F), a_k.T) + jnp.outer(u, u) / c2
             return F_next, F
 
         init = jnp.zeros_like(jnp.outer(q[0], q[0]))
         _, F = jax.lax.scan(step, init, (d, p, q, a))
         return F
 
+    return _riccati_parallel(d, p, q, _dense_transitions(a))
+
+
+@jax.custom_vjp
+def _riccati_parallel(d, p, q, a):
+    return _riccati_impl(d, p, q, a)
+
+
+def _riccati_parallel_fwd(d, p, q, a):
+    F = _riccati_impl(d, p, q, a)
+    return F, (d, p, q, a, F)
+
+
+def _riccati_parallel_bwd(res, Ybar):
+    """Adjoint of the Riccati flow via a congruence scan.
+
+    Linearizing ``phi(F) = a F a^T + u u^T / c2`` (``u = q - a F p``,
+    ``c2 = d - p^T F p``) around the saved forward states gives
+
+        (dphi/dF)^T [G] = A~^T G A~,   with  A~ = a - u p^T / c2,
+
+    so the state adjoint ``Fbar_k = Ybar_k + A~_k^T Fbar_{k+1} A~_k`` is a
+    *reverse congruence scan* with transitions ``A~^T`` and loads ``Ybar``
+    — the same primitive as the forward family, at the same O(N) cost.
+    Input cotangents are then elementwise in the saved states, with
+    ``S = Gbar + Gbar^T`` where ``Gbar_k = Fbar_{k+1}``:
+
+        qbar = S u / c2
+        dbar = -(u . S u) / (2 c2^2)
+        pbar = -F a^T S u / c2 + (u . S u) / c2^2 * F p
+        abar = S a F - S u (F p)^T / c2
+    """
+    d, p, q, a, F = res
+
+    # All elementwise algebra in lane-major layout (matrices (m, m, N),
+    # vectors (m, N)): row-major (N, m, m) ops with tiny trailing dims pad
+    # ~256x in TPU tiles and at N=1e6 turn this pass into a memory bomb.
+    Fl = _to_lanes_mat(F)
+    al = _to_lanes_mat(a)
+    pl = p.T
+    ql = q.T
+
+    def mv(M, v):
+        return _mm(M, v[:, None, :])[:, 0, :]
+
+    def outer(x, y):
+        return x[:, None, :] * y[None, :, :]
+
+    Fp = mv(Fl, pl)
+    c2 = d - jnp.sum(pl * Fp, axis=0)
+    u = ql - mv(al, Fp)
+    inv_c2 = 1.0 / c2
+    atil = al - outer(u, pl) * inv_c2
+
+    # Gbar_k = Fbar_{k+1}: the right-exclusive suffix of the adjoint flow,
+    # which is exactly what step k's input cotangents consume.
+    Gbar = _congruence_impl(
+        _from_lanes_mat(_mT(atil)), Ybar, reverse=True
+    )
+
+    Gl = _to_lanes_mat(Gbar)
+    S = Gl + _mT(Gl)
+    Su = mv(S, u)
+    uSu = jnp.sum(u * Su, axis=0)
+
+    qbar = Su * inv_c2
+    dbar = -0.5 * uSu * inv_c2**2
+    aTSu = mv(_mT(al), Su)
+    pbar = -mv(Fl, aTSu) * inv_c2 + (uSu * inv_c2**2) * Fp
+    abar = _mm(_mm(S, al), Fl) - outer(Su, Fp) * inv_c2
+    return dbar, pbar.T, qbar.T, _from_lanes_mat(abar)
+
+
+_riccati_parallel.defvjp(_riccati_parallel_fwd, _riccati_parallel_bwd)
+
+
+def _riccati_impl(d, p, q, a):
     m = p.shape[1]
     pl = p.T  # (m, N)
     ql = q.T

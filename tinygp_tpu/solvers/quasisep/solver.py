@@ -48,6 +48,17 @@ class QuasisepSolver(Solver):
         assume_sorted: Skip the sorted-input check.
         parallel: Use associative-scan algorithms (default on TPU-native
             builds) instead of sequential scans.
+
+    Precision note: in float32 the triangular-solve error grows with the
+    covariance's condition number (the solve applies ``L^{-1}``, whose
+    composed transitions carry norms up to ``cond(K)``); with strong
+    smoothing (e.g. SHO at high quality, tiny ``diag``) expect log-
+    likelihood errors of order ``eps_f32 * cond(K) * |loglik|``. Every
+    structural contraction here is pinned to true-f32 accumulation
+    (``helpers.pdot`` — TPU would otherwise demote matmuls to bf16), which
+    is enough for typical jitters (>= 1e-2 of the signal variance); for
+    severely ill-conditioned problems enable x64 as the reference advises
+    (``/root/reference/docs/troubleshooting.md:12-37``).
     """
 
     X: JAXArray
