@@ -55,6 +55,11 @@ from tinygp_tpu.helpers import JAXArray, pdot
 _BLOCK = 64
 # Below this length a single sequential scan wins.
 _SEQ_CUTOFF = 128
+# Up to this length, one `lax.associative_scan` level (depth log2 n, full
+# lane width per step) beats another blocked level (depth _BLOCK). Its HLO
+# is O(n) in slice/concat ops, so it must stay bounded; 8192 keeps compiles
+# fast while capping the scan at two levels for N <= 2^26.
+_ASSOC_CUTOFF = 8192
 # Loop unrolling for the per-level sequential scans: while-loop iterations
 # on TPU carry fixed dispatch/slice overhead, so folding several combines
 # into each iteration is nearly free throughput.
@@ -219,20 +224,43 @@ def monoid_scan(combine, identity, elems, *, reverse: bool = False):
             lambda x: jnp.moveaxis(x[..., 0], 0, -1), excl
         )
 
-    num_blocks = -(-n // _BLOCK)
-    pad = num_blocks * _BLOCK - n
+    if n <= _ASSOC_CUTOFF:
+        # One associative-scan level: log2(n) combines at full lane width.
+        # lax.associative_scan keeps index order under reverse=True by
+        # flip-scan-flip, which hands the *higher*-index aggregate to the
+        # first argument — swap to preserve our (earlier, later) contract.
+        fn = (lambda a, b: combine(b, a)) if reverse else combine
+        axis = jax.tree_util.tree_leaves(elems)[0].ndim - 1
+        incl = jax.lax.associative_scan(fn, elems, reverse=reverse, axis=axis)
+
+        def shift(x, ident):
+            ident = jnp.broadcast_to(ident, x.shape[:-1] + (1,))
+            if reverse:
+                return jnp.concatenate([x[..., 1:], ident], axis=-1)
+            return jnp.concatenate([ident, x[..., :-1]], axis=-1)
+
+        return jax.tree_util.tree_map(shift, incl, identity)
+
+    # Scale the block so the totals level fits one associative-scan level:
+    # total sequential depth stays block + log2(n / block) for any n.
+    block = _BLOCK
+    while n > block * _ASSOC_CUTOFF:
+        block *= 2
+
+    num_blocks = -(-n // block)
+    pad = num_blocks * block - n
 
     def pad_and_fill(x, ident_leaf):
         if pad:
             width = [(0, 0)] * (x.ndim - 1) + [(pad, 0) if reverse else (0, pad)]
             x = jnp.pad(x, width)
-            idx = jnp.arange(num_blocks * _BLOCK)
+            idx = jnp.arange(num_blocks * block)
             valid = (idx >= pad) if reverse else (idx < n)
             x = jnp.where(
                 valid, x, jnp.broadcast_to(ident_leaf, x.shape)
             )
         # (..., nb*c) -> (c, ..., nb): block index stays on lanes.
-        x = jnp.reshape(x, x.shape[:-1] + (num_blocks, _BLOCK))
+        x = jnp.reshape(x, x.shape[:-1] + (num_blocks, block))
         return jnp.moveaxis(x, -1, 0)
 
     blocked = jax.tree_util.tree_map(pad_and_fill, elems, identity)
@@ -252,7 +280,7 @@ def monoid_scan(combine, identity, elems, *, reverse: bool = False):
 
     def unblock(x):
         x = jnp.moveaxis(x, 0, -1)  # (..., nb, c)
-        x = jnp.reshape(x, x.shape[:-2] + (num_blocks * _BLOCK,))
+        x = jnp.reshape(x, x.shape[:-2] + (num_blocks * block,))
         return x[..., pad:] if (reverse and pad) else x[..., :n]
 
     return jax.tree_util.tree_map(unblock, out)
