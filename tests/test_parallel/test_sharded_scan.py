@@ -1,0 +1,88 @@
+"""Sequence-parallel (time-axis-sharded) quasisep solve vs single device.
+
+Runs on the 8-virtual-device CPU mesh from conftest. The sharded scan must
+reproduce the single-device parallel-scan log-likelihood (same math, same
+combine monoid) to float tolerance, for values AND gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from tinygp_tpu import GaussianProcess
+from tinygp_tpu.kernels import quasisep
+from tinygp_tpu.parallel.scan import sharded_loglik
+from tinygp_tpu.test_utils import assert_allclose
+
+
+@pytest.fixture
+def mesh():
+    return Mesh(np.asarray(jax.devices()[:8]), ("data",))
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(86)
+    N = 1024
+    X = jnp.asarray(np.sort(rng.uniform(0, 10, N)))
+    y = jnp.asarray(rng.normal(size=N))
+    return X, y
+
+
+@pytest.mark.parametrize(
+    "make_kernel",
+    [
+        lambda p: p["amp"] * quasisep.Matern32(scale=p["scale"]),
+        lambda p: p["amp"] * quasisep.SHO(omega=p["scale"], quality=3.0),
+        lambda p: quasisep.Matern52(scale=p["scale"])
+        + quasisep.Cosine(scale=2.0) * p["amp"],
+    ],
+    ids=["m32", "sho", "sum_product"],
+)
+def test_sharded_loglik_matches_single_device(mesh, data, make_kernel):
+    X, y = data
+    params = {"amp": jnp.asarray(1.4), "scale": jnp.asarray(2.1)}
+
+    def single(params):
+        gp = GaussianProcess(
+            make_kernel(params), X, diag=0.1, assume_sorted=True
+        )
+        return gp.log_probability(y)
+
+    def sharded(params):
+        return sharded_loglik(
+            make_kernel(params), X, y, diag=0.1, mesh=mesh
+        )
+
+    assert_allclose(jax.jit(sharded)(params), single(params))
+
+
+def test_sharded_loglik_gradient_matches(mesh, data):
+    # Gradient equivalence through shard_map + collectives; one kernel
+    # keeps the (expensive) CPU compile of the sharded VJP bounded.
+    X, y = data
+    params = {"amp": jnp.asarray(1.4), "scale": jnp.asarray(2.1)}
+
+    def single(params):
+        kernel = params["amp"] * quasisep.Matern32(scale=params["scale"])
+        gp = GaussianProcess(kernel, X, diag=0.1, assume_sorted=True)
+        return gp.log_probability(y)
+
+    def sharded(params):
+        kernel = params["amp"] * quasisep.Matern32(scale=params["scale"])
+        return sharded_loglik(kernel, X, y, diag=0.1, mesh=mesh)
+
+    v1, g1 = jax.value_and_grad(single)(params)
+    v2, g2 = jax.value_and_grad(jax.jit(sharded))(params)
+    assert_allclose(v2, v1)
+    assert_allclose(g2["amp"], g1["amp"])
+    assert_allclose(g2["scale"], g1["scale"])
+
+
+def test_sharded_loglik_rejects_uneven(mesh, data):
+    X, y = data
+    kernel = quasisep.Matern32(scale=1.0)
+    with pytest.raises(ValueError, match="divide evenly"):
+        sharded_loglik(kernel, X[:1001], y[:1001], diag=0.1, mesh=mesh)

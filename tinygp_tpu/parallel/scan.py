@@ -1,0 +1,258 @@
+"""Sequence-parallel quasiseparable scans across a device mesh.
+
+The single-chip scan primitives (:mod:`tinygp_tpu.solvers.quasisep.scan`)
+evaluate exclusive prefixes of an associative combine. Sharding the data
+axis over a mesh extends the same three-phase structure across chips — the
+GP analog of ring-attention/context parallelism (no reference counterpart;
+the reference is single-device, SURVEY.md §2.4):
+
+1. every device runs the blocked **on-chip** scan on its contiguous shard
+   and forms its shard *total* (the composition of all its elements);
+2. the D totals are ``all_gather``-ed over ICI (tiny: one m×m map per
+   device) and every device redundantly computes the exclusive prefix of
+   that length-D sequence, selecting its own entry;
+3. one vectorized combine folds the cross-device prefix into the local
+   exclusive states.
+
+Communication is O(D · m²) per scan — independent of N — so scaling
+efficiency approaches the local-scan fraction for any realistic N/D.
+
+Gradients flow through ``shard_map`` + ``all_gather`` automatically, and
+the on-chip scans keep their hand-written VJPs.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "sharded_monoid_scan",
+    "sharded_affine_scan",
+    "sharded_riccati_scan",
+    "sharded_loglik",
+]
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.solvers.quasisep import scan as chip_scan
+
+
+def _select_prefix(combine, identity, totals, my_idx):
+    """Exclusive prefix of the length-D gathered totals at this device.
+
+    ``totals`` leaves have the device axis LAST (lane-major). D is the mesh
+    size — tiny — so a sequential exclusive scan followed by a dynamic
+    lane-slice is cheap and identical on every device.
+    """
+    prefixes = chip_scan.monoid_scan(combine, identity, totals)
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.dynamic_slice_in_dim(x, my_idx, 1, axis=-1),
+        prefixes,
+    )
+
+
+def sharded_monoid_scan(combine, identity, elems, *, axis_name: str):
+    """Exclusive scan along the last axis, sharded over ``axis_name``.
+
+    Call INSIDE ``shard_map``: ``elems`` are the local shard (lane axis
+    last), and the result is the local slice of the global exclusive scan.
+    """
+    local_excl = chip_scan.monoid_scan(combine, identity, elems)
+    # Shard total = exclusive-prefix-at-last composed with the last element.
+    last = jax.tree_util.tree_map(lambda x: x[..., -1:], elems)
+    excl_last = jax.tree_util.tree_map(lambda x: x[..., -1:], local_excl)
+    total = combine(excl_last, last)
+
+    totals = jax.lax.all_gather(total, axis_name, axis=-1, tiled=True)
+    my_idx = jax.lax.axis_index(axis_name)
+    prefix = _select_prefix(combine, identity, totals, my_idx)
+    return combine(prefix, local_excl)
+
+
+def sharded_affine_scan(
+    A: JAXArray, B: JAXArray, *, axis_name: str
+) -> JAXArray:
+    """Sharded forward-exclusive affine scan (inside ``shard_map``).
+
+    ``A``: local ``(n, m, m)`` transitions; ``B``: local ``(n, m, r)``
+    loads. Returns the local slice of the global exclusive prefix states.
+    """
+    Al = chip_scan._to_lanes_mat(A)
+    Bl = chip_scan._to_lanes_mat(B)
+
+    def combine(earlier, later):
+        A_e, B_e = earlier
+        A_l, B_l = later
+        return (
+            chip_scan._mm(A_l, A_e),
+            chip_scan._mm(A_l, B_e) + B_l,
+        )
+
+    m = Al.shape[0]
+    identity = (
+        chip_scan._eye_lanes(m, Al.dtype),
+        jnp.zeros(Bl.shape[:-1] + (1,), Bl.dtype),
+    )
+    _, e = sharded_monoid_scan(
+        combine, identity, (Al, Bl), axis_name=axis_name
+    )
+    return chip_scan._from_lanes_mat(e)
+
+
+def sharded_riccati_scan(
+    d: JAXArray,
+    p: JAXArray,
+    q: JAXArray,
+    a: JAXArray,
+    *,
+    axis_name: str,
+) -> JAXArray:
+    """Sharded exclusive Riccati flow (inside ``shard_map``).
+
+    Same matrix-fraction monoid as the on-chip strategy
+    (:func:`tinygp_tpu.solvers.quasisep.scan.riccati_scan`); the cross-
+    device combine merges per-shard linear-fractional maps.
+    """
+    m = p.shape[1]
+    pl = p.T
+    ql = q.T
+    al = chip_scan._to_lanes_mat(chip_scan._dense_transitions(a))
+    inv_d = 1.0 / d
+
+    def outer(u, v):
+        return u[:, None, :] * v[None, :, :]
+
+    A0 = al - outer(ql, pl) * inv_d
+    F0 = outer(ql, ql) * inv_d
+    G0 = -outer(pl, pl) * inv_d
+    eye = chip_scan._eye_lanes(m, pl.dtype)
+
+    def combine(earlier, later):
+        A_e, F_e, G_e = earlier
+        A_l, F_l, G_l = later
+        M = eye + chip_scan._mm(F_e, G_l)
+        A = chip_scan._mm(A_l, chip_scan._solve_small(M, A_e))
+        F = F_l + chip_scan._mm(
+            chip_scan._mm(A_l, chip_scan._solve_small(M, F_e)),
+            chip_scan._mT(A_l),
+        )
+        G = G_e + chip_scan._mm(
+            chip_scan._mm(
+                chip_scan._mT(A_e),
+                chip_scan._solve_small(chip_scan._mT(M), G_l),
+            ),
+            A_e,
+        )
+        return A, F, G
+
+    identity = (
+        chip_scan._eye_lanes(m, pl.dtype),
+        jnp.zeros((m, m, 1), pl.dtype),
+        jnp.zeros((m, m, 1), pl.dtype),
+    )
+    _, F, _ = sharded_monoid_scan(
+        combine, identity, (A0, F0, G0), axis_name=axis_name
+    )
+    return chip_scan._from_lanes_mat(F)
+
+
+def _local_loglik_pieces(d, p, q, a, y, *, axis_name: str):
+    """Shard-local contributions to the marginal log-likelihood.
+
+    Runs the sharded Riccati flow for the Cholesky emissions, then the
+    sharded affine solve for the whitened residuals, and reduces the two
+    quadratic terms with a ``psum``.
+    """
+    F = sharded_riccati_scan(d, p, q, a, axis_name=axis_name)
+
+    Fp = jnp.einsum("nij,nj->ni", F, p, precision="highest")
+    c2 = d - jnp.einsum("ni,ni->n", p, Fp, precision="highest")
+    c = jnp.sqrt(c2)
+    w = (q - jnp.einsum("nij,nj->ni", a, Fp, precision="highest")) / c[:, None]
+
+    # Solve L alpha = y with L = diag(c) + strict_lower(p, w, a): fold the
+    # diagonal into the transition (ops.lower_triangular_solve math).
+    inv_c = 1.0 / c[:, None]
+    wd = w * inv_c
+    A = a - jnp.einsum("ni,nj->nij", wd, p, precision="highest")
+    e = sharded_affine_scan(A, (wd * y[:, None])[..., None], axis_name=axis_name)
+    alpha = (y[:, None] - jnp.einsum(
+        "ni,nik->nk", p, e, precision="highest"
+    )) * inv_c
+
+    quad = jnp.sum(alpha**2)
+    logdet = jnp.sum(jnp.log(c))
+    n_local = jnp.asarray(y.shape[0], y.dtype)
+    quad, logdet, n = jax.lax.psum(
+        (quad, logdet, n_local), axis_name
+    )
+    return -0.5 * quad - logdet - 0.5 * n * jnp.log(2 * jnp.pi)
+
+
+def sharded_loglik(
+    kernel,
+    X: JAXArray,
+    y: JAXArray,
+    *,
+    diag: JAXArray | float,
+    mesh: Mesh,
+    axis: str = "data",
+) -> JAXArray:
+    """GP marginal log-likelihood with the time axis sharded over ``mesh``.
+
+    The quasiseparable generators are built shard-locally (each device
+    additionally needs its left-neighbor coordinate for the first
+    transition, obtained with one ``ppermute``), then the factorization
+    and solve run as sharded scans. ``X`` must be globally sorted;
+    ``kernel`` must be a :class:`tinygp_tpu.kernels.quasisep.Quasisep`.
+
+    Equivalent to ``GaussianProcess(kernel, X, diag=diag).log_probability``
+    on one device (same math, same parallel-scan numerics).
+    """
+    devices = mesh.shape[axis]
+    n = X.shape[0]
+    if n % devices:
+        raise ValueError(
+            f"data length {n} must divide evenly over mesh axis "
+            f"{axis!r} ({devices} devices)"
+        )
+
+    diag = jnp.broadcast_to(jnp.asarray(diag, y.dtype), y.shape)
+
+    def local(X_loc, y_loc, diag_loc):
+        axis_idx = jax.lax.axis_index(axis)
+        # Left-neighbor boundary coordinate via ppermute (device d receives
+        # the last coordinate of device d-1; device 0 keeps its own first —
+        # matching the single-device convention X_prev[0] = X[0]).
+        perm = [(i, (i + 1) % devices) for i in range(devices)]
+        left = jax.lax.ppermute(X_loc[-1:], axis, perm)
+        left = jnp.where(axis_idx == 0, X_loc[:1], left)
+        X_prev = jnp.concatenate([left, X_loc[:-1]])
+
+        Pinf = kernel.stationary_covariance()
+        from tinygp_tpu.kernels.quasisep import _anchor, _mT, _vm
+        from tinygp_tpu.solvers.quasisep.block import ensure_dense
+
+        a = ensure_dense(
+            _mT(jax.vmap(kernel.transition_matrix)(X_prev, X_loc))
+        )
+        t = jax.vmap(kernel.coord_to_sortable)(X_loc)
+        h = _anchor(jax.vmap(kernel.observation_model)(X_loc), t)
+        q = _vm(h, Pinf)
+        d = jnp.sum(q * h, axis=1) + diag_loc
+        p = _vm(h, a)
+        return _local_loglik_pieces(d, p, q, a, y_loc, axis_name=axis)
+
+    spec = P(axis)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return fn(X, y, diag)

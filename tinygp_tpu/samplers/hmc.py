@@ -24,6 +24,7 @@ from __future__ import annotations
 
 __all__ = ["hmc", "nuts", "window_adaptation", "run_mcmc"]
 
+import os
 from collections.abc import Callable
 from functools import partial
 from typing import Any, NamedTuple
@@ -531,14 +532,22 @@ def window_adaptation(
     ``keys``/``states`` carry a leading chain axis.
     """
 
-    def run(keys, states: HMCState):
-        num_chains, dim = states.z.shape
-        da = _da_init(jnp.asarray(initial_step_size))
-        inv_mass = jnp.ones(dim)
-        welford_mean = jnp.zeros(dim)
-        welford_m2 = jnp.zeros(dim)
-        welford_n = jnp.zeros(())
+    def init(states: HMCState):
+        dim = states.z.shape[-1]
+        return (
+            states,
+            _da_init(jnp.asarray(initial_step_size)),
+            jnp.ones(dim),
+            jnp.zeros(dim),
+            jnp.zeros(dim),
+            jnp.zeros(()),
+        )
 
+    def finish(carry):
+        states, da, inv_mass, *_ = carry
+        return states, jnp.exp(da.log_step_avg), inv_mass
+
+    def make_body():
         # Mass-adaptation window: middle portion of warmup.
         lo = int(0.1 * num_warmup)
         hi = int(0.8 * num_warmup)
@@ -579,16 +588,22 @@ def window_adaptation(
             )
             return (states, da, inv_mass, wmean, wm2, wn), None
 
+        return body
+
+    body = make_body()
+
+    def run(keys, states: HMCState):
         all_keys = jax.vmap(
             lambda i: jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, i)
         )(jnp.arange(num_warmup))
-        (states, da, inv_mass, *_), _ = jax.lax.scan(
-            body,
-            (states, da, inv_mass, welford_mean, welford_m2, welford_n),
-            (jnp.arange(num_warmup), all_keys),
+        carry, _ = jax.lax.scan(
+            body, init(states), (jnp.arange(num_warmup), all_keys)
         )
-        return states, jnp.exp(da.log_step_avg), inv_mass
+        return finish(carry)
 
+    run.init = init
+    run.body = body
+    run.finish = finish
     return run
 
 
@@ -606,6 +621,9 @@ def run_mcmc(
     target_accept: float = 0.8,
     initial_step_size: float = 0.1,
     jitter_init: float = 1.0,
+    steps_per_dispatch: int | None = 50,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 1,
 ) -> tuple[Any, HMCInfo]:
     """End-to-end vectorized MCMC over a pytree-valued posterior.
 
@@ -616,11 +634,27 @@ def run_mcmc(
             jittering it).
         num_chains: Number of vectorized chains.
         sampler: ``"nuts"`` or ``"hmc"``.
+        steps_per_dispatch: Execute the warmup/sampling loops in device
+            programs of at most this many transitions, stitched host-side.
+            Bounded executions keep long runs inside device watchdog /
+            RPC-timeout limits and give the host a checkpointing hook; the
+            per-step RNG streams are derived from step indices, so results
+            are bit-identical to ``None`` (one program per phase).
+        checkpoint_path: If set, save the full sampler state (phase, step,
+            chain states, adaptation state, collected samples) to this
+            ``.npz`` after every ``checkpoint_every`` dispatches, and —
+            when the file already exists — RESUME from it instead of
+            starting over. Pair with ``steps_per_dispatch``.
+        checkpoint_every: Dispatches between checkpoint writes.
 
     Returns:
         ``(samples, info)`` where ``samples`` has leading dims
         ``(num_samples, num_chains)`` on every leaf.
     """
+    import numpy as np
+
+    from tinygp_tpu.utils.checkpoint import load_pytree, save_pytree
+
     ravel, unravel, dim = _ravel_spec(init_params)
     flat_log_prob = lambda z: log_prob_fn(unravel(z))
 
@@ -645,18 +679,135 @@ def run_mcmc(
         target_accept=target_accept,
         initial_step_size=initial_step_size,
     )
-    states, step_size, inv_mass = adapt(warm_keys, states)
 
-    def sample_body(states, keys):
+    def sample_body(carry, inputs):
+        states, step_size, inv_mass = carry
+        step, _ = inputs
+        keys = jax.random.split(
+            jax.random.fold_in(key_run, step), num_chains
+        )
         states, infos = jax.vmap(
             lambda k, s: step_fn(k, s, step_size, inv_mass)
         )(keys, states)
-        return states, (states.z, infos)
+        return (states, step_size, inv_mass), (states.z, infos)
 
-    run_keys = jax.vmap(
-        lambda i: jax.random.split(jax.random.fold_in(key_run, i), num_chains)
-    )(jnp.arange(num_samples))
-    _, (zs, infos) = jax.lax.scan(sample_body, states, run_keys)
+    if steps_per_dispatch is None:
+        states, step_size, inv_mass = adapt(warm_keys, states)
+        _, (zs, infos) = jax.lax.scan(
+            sample_body,
+            (states, step_size, inv_mass),
+            (jnp.arange(num_samples), jnp.zeros(num_samples)),
+        )
+        samples = jax.vmap(jax.vmap(unravel))(zs)
+        return samples, infos
 
-    samples = jax.vmap(jax.vmap(unravel))(zs)
-    return samples, infos
+    # --- chunked dispatch (bit-identical; bounded device programs) --------
+    chunk_fns: dict[tuple[str, int], Any] = {}
+
+    def warm_chunk(carry, step0, length):
+        fn = chunk_fns.get(("warm", length))
+        if fn is None:
+
+            def go(carry, step0):
+                steps = step0 + jnp.arange(length)
+                all_keys = jax.vmap(
+                    lambda i: jax.vmap(
+                        jax.random.fold_in, in_axes=(0, None)
+                    )(warm_keys, i)
+                )(steps)
+                carry, _ = jax.lax.scan(adapt.body, carry, (steps, all_keys))
+                return carry
+
+            fn = chunk_fns[("warm", length)] = jax.jit(go)
+        return fn(carry, jnp.asarray(step0, jnp.int32))
+
+    def sample_chunk(carry, step0, length):
+        fn = chunk_fns.get(("sample", length))
+        if fn is None:
+
+            def go(carry, step0):
+                steps = step0 + jnp.arange(length)
+                return jax.lax.scan(
+                    sample_body, carry, (steps, jnp.zeros(length))
+                )
+
+            fn = chunk_fns[("sample", length)] = jax.jit(go)
+        return fn(carry, jnp.asarray(step0, jnp.int32))
+
+    # Host-side run state: everything needed to resume, as one pytree.
+    zdtype = np.asarray(z_chains).dtype
+    run_state = {
+        "phase": np.zeros((), np.int32),  # 0 = warmup, 1 = sampling
+        "step": np.zeros((), np.int32),
+        "warm": adapt.init(states),
+        "states": states,
+        "step_size": jnp.zeros(()),
+        "inv_mass": jnp.ones(dim),
+        "zs": np.zeros((num_samples, num_chains, dim), zdtype),
+        "info": HMCInfo(
+            accept_prob=np.zeros((num_samples, num_chains), zdtype),
+            accepted=np.zeros((num_samples, num_chains), bool),
+            energy=np.zeros((num_samples, num_chains), zdtype),
+            num_steps=np.zeros((num_samples, num_chains), np.int32),
+            diverging=np.zeros((num_samples, num_chains), bool),
+        ),
+    }
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        run_state = load_pytree(checkpoint_path, run_state)
+
+    dispatches = 0
+
+    def maybe_checkpoint(force=False):
+        nonlocal dispatches
+        dispatches += 1
+        if checkpoint_path is not None and (
+            force or dispatches % checkpoint_every == 0
+        ):
+            save_pytree(checkpoint_path, run_state)
+
+    while int(run_state["phase"]) == 0 and int(run_state["step"]) < num_warmup:
+        step = int(run_state["step"])
+        length = min(steps_per_dispatch, num_warmup - step)
+        run_state["warm"] = warm_chunk(run_state["warm"], step, length)
+        run_state["step"] = np.asarray(step + length, np.int32)
+        maybe_checkpoint()
+
+    if int(run_state["phase"]) == 0:
+        states, step_size, inv_mass = adapt.finish(run_state["warm"])
+        run_state.update(
+            phase=np.ones((), np.int32),
+            step=np.zeros((), np.int32),
+            states=states,
+            step_size=step_size,
+            inv_mass=inv_mass,
+        )
+        maybe_checkpoint(force=True)
+
+    while int(run_state["step"]) < num_samples:
+        step = int(run_state["step"])
+        length = min(steps_per_dispatch, num_samples - step)
+        carry = (
+            run_state["states"],
+            run_state["step_size"],
+            run_state["inv_mass"],
+        )
+        (states, *_), (z_chunk, info_chunk) = sample_chunk(
+            carry, step, length
+        )
+        run_state["states"] = states
+        run_state["zs"][step : step + length] = np.asarray(z_chunk)
+        for name in HMCInfo._fields:
+            getattr(run_state["info"], name)[step : step + length] = (
+                np.asarray(getattr(info_chunk, name))
+            )
+        run_state["step"] = np.asarray(step + length, np.int32)
+        maybe_checkpoint()
+
+    if checkpoint_path is not None:
+        save_pytree(checkpoint_path, run_state)
+
+    samples = jax.vmap(jax.vmap(unravel))(jnp.asarray(run_state["zs"]))
+    info = HMCInfo(
+        *(jnp.asarray(getattr(run_state["info"], f)) for f in HMCInfo._fields)
+    )
+    return samples, info

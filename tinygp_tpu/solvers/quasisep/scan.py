@@ -337,14 +337,6 @@ def _shift_transitions(A: JAXArray, reverse: bool) -> JAXArray:
     return jnp.concatenate([A[1:], eye], axis=0)
 
 
-def _shift_outputs(e: JAXArray, reverse: bool) -> JAXArray:
-    """Turn inclusive outputs ``g_k`` into exclusive ones (zero fill)."""
-    zero = jnp.zeros_like(e[:1])
-    if reverse:
-        return jnp.concatenate([e[1:], zero], axis=0)
-    return jnp.concatenate([zero, e[:-1]], axis=0)
-
-
 def _make_affine_parallel(reverse: bool, exclusive: bool):
     """Parallel affine scan with a hand-written transpose.
 
@@ -367,20 +359,28 @@ def _make_affine_parallel(reverse: bool, exclusive: bool):
 
     def fwd(A, B):
         e = _affine_impl(A, B, reverse=reverse, exclusive=exclusive)
-        return e, (A, e)
+        # Residuals lane-major: row-major (N, m, m) residuals materialize
+        # in (8, 128)-tiled layout when they cross a loop boundary (e.g.
+        # a leapfrog while_loop), padding HBM ~256x — enough to OOM a
+        # 1024-chain NUTS run.
+        return e, (_to_lanes_mat(A), _to_lanes_mat(e))
 
     def bwd(res, ebar):
-        A, e = res
+        Al, el = res
+        A = _from_lanes_mat(Al)
         At = jnp.swapaxes(A, -1, -2)
         if not exclusive:
             At = _shift_transitions(At, reverse)
         gbar = _affine_impl(At, ebar, reverse=not reverse, exclusive=exclusive)
-        e_excl = e if exclusive else _shift_outputs(e, reverse)
-        # Outer products in lane-major layout: (N, m, r) arrays with tiny
-        # trailing dims pad ~256x in TPU tiles, so contract with N on lanes.
-        Abar = _from_lanes_mat(
-            _mm(_to_lanes_mat(gbar), _mT(_to_lanes_mat(e_excl)))
-        )
+        if not exclusive:
+            # Exclusive outputs from the saved inclusive ones (zero fill).
+            zero = jnp.zeros_like(el[..., :1])
+            el = (
+                jnp.concatenate([el[..., 1:], zero], axis=-1)
+                if reverse
+                else jnp.concatenate([zero, el[..., :-1]], axis=-1)
+            )
+        Abar = _from_lanes_mat(_mm(_to_lanes_mat(gbar), _mT(el)))
         return Abar, gbar
 
     scan.defvjp(fwd, bwd)
@@ -474,18 +474,16 @@ def _make_congruence_parallel(reverse: bool):
 
     def fwd(A, B):
         e = _congruence_impl(A, B, reverse=reverse)
-        return e, (A, e)
+        # Lane-major residuals: see the affine fwd note on tile padding.
+        return e, (_to_lanes_mat(A), _to_lanes_mat(e))
 
     def bwd(res, ebar):
-        A, e = res
-        At = jnp.swapaxes(A, -1, -2)
+        Al, el = res
+        At = _from_lanes_mat(_mT(Al))
         gbar = _congruence_impl(At, ebar, reverse=not reverse)
-        # Lane-major algebra (see affine bwd note on TPU tile padding).
         gl = _to_lanes_mat(gbar)
         S = gl + _mT(gl)
-        Abar = _from_lanes_mat(
-            _mm(_mm(S, _to_lanes_mat(A)), _to_lanes_mat(e))
-        )
+        Abar = _from_lanes_mat(_mm(_mm(S, Al), el))
         return Abar, gbar
 
     scan.defvjp(fwd, bwd)
@@ -587,7 +585,8 @@ def _riccati_parallel(d, p, q, a):
 
 def _riccati_parallel_fwd(d, p, q, a):
     F = _riccati_impl(d, p, q, a)
-    return F, (d, p, q, a, F)
+    # Lane-major residuals: see the affine fwd note on tile padding.
+    return F, (d, p.T, q.T, _to_lanes_mat(a), _to_lanes_mat(F))
 
 
 def _riccati_parallel_bwd(res, Ybar):
@@ -609,15 +608,10 @@ def _riccati_parallel_bwd(res, Ybar):
         pbar = -F a^T S u / c2 + (u . S u) / c2^2 * F p
         abar = S a F - S u (F p)^T / c2
     """
-    d, p, q, a, F = res
-
-    # All elementwise algebra in lane-major layout (matrices (m, m, N),
-    # vectors (m, N)): row-major (N, m, m) ops with tiny trailing dims pad
-    # ~256x in TPU tiles and at N=1e6 turn this pass into a memory bomb.
-    Fl = _to_lanes_mat(F)
-    al = _to_lanes_mat(a)
-    pl = p.T
-    ql = q.T
+    # Residuals arrive lane-major (matrices (m, m, N), vectors (m, N)):
+    # row-major (N, m, m) ops with tiny trailing dims pad ~256x in TPU
+    # tiles and at N=1e6 turn this pass into a memory bomb.
+    d, pl, ql, al, Fl = res
 
     def mv(M, v):
         return _mm(M, v[:, None, :])[:, 0, :]
