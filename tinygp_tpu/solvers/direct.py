@@ -3,12 +3,20 @@
 API parity: ``/root/reference/src/tinygp/solvers/direct.py:17-95``.
 
 TPU mapping: the three hot operations are (1) the O(N^2) kernel-matrix
-construction, (2) the O(N^3) Cholesky factorization, and (3) the O(N^2)
-triangular solves. All three lower onto the MXU through XLA; construction
-goes through the kernel's batched :meth:`~tinygp_tpu.kernels.base.Kernel.gram`
-hook, and factorization/solves can optionally route through the Pallas
-blocked kernels in :mod:`tinygp_tpu.ops` (``solver_kwargs`` control this at
-the :class:`tinygp_tpu.GaussianProcess` level).
+construction (fused by XLA, ~bandwidth bound), (2) the O(N^3) Cholesky
+factorization, and (3) the O(N^2) triangular solves.
+
+Why the factorization stays on XLA's native Cholesky (measured on v5e):
+f32-accurate MXU arithmetic tops out at ~30 TF/s (the 6-pass bf16
+emulation; the fast bf16 path is ~175 TF/s), and XLA's blocked Cholesky
+already sustains ~19 TF/s — 63% of that bound, 2.1x an A100 at N=1e4
+(BASELINE.md). A hand-blocked variant with split-bf16x2 trailing updates
+(:mod:`tinygp_tpu.ops.dense`) reaches ~12 ms at N=1e4 but its ~1.5e-5
+operand error produces indefinite trailing blocks (NaNs) at the condition
+numbers real GP covariances reach, and the accurate x3 splitting costs the
+same ~30 TF/s as XLA's path with none of its maturity — so the remaining
+headroom (<1.6x, triangular-aware scheduling) is not worth the numerical
+risk at this precision.
 """
 
 from __future__ import annotations
