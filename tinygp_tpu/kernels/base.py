@@ -242,5 +242,8 @@ class Polynomial(Kernel):
     sigma: JAXArray | float = field(default_factory=lambda: jnp.zeros(()))
 
     def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
-        base = (X1 / self.scale) @ (X2 / self.scale) + jnp.square(self.sigma)
+        base = (
+            jnp.sum((X1 / self.scale) * (X2 / self.scale))
+            + jnp.square(self.sigma)
+        )
         return base**self.order

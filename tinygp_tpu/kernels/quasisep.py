@@ -675,8 +675,10 @@ class CARMA(Quasisep):
     alpha: JAXArray
     beta: JAXArray
     sigma: JAXArray
-    arroots: JAXArray
-    acf: JAXArray
+    arroots_re: JAXArray
+    arroots_im: JAXArray
+    acf_re: JAXArray
+    acf_im: JAXArray
     _real_mask: JAXArray
     _complex_mask: JAXArray
     _complex_select: JAXArray
@@ -689,22 +691,22 @@ class CARMA(Quasisep):
         assert alpha.ndim == 1 and beta.ndim == 1
         assert beta.shape[0] <= alpha.shape[0]
 
-        arroots = carma_roots(jnp.append(alpha, 1.0))
-        acf = carma_acvf(arroots, alpha, beta * sigma)
+        # Roots/ACVF in (re, im) pair arithmetic: this TPU backend lowers
+        # no complex primitives (see _carma_roots_ri).
+        re, im = _carma_roots_ri(jnp.append(alpha, 1.0))
+        acf_re, acf_im = _carma_acvf_ri(re, im, alpha, beta * sigma)
 
         # Real roots get a 1-state exponential; each complex-conjugate pair
         # shares a 2-state rotation block. The *_select mask marks the first
         # member of each pair (where the off-diagonal couplings live).
-        real_mask = jnp.abs(arroots.imag) < 10 * jnp.finfo(
-            arroots.imag.dtype
-        ).eps
+        real_mask = jnp.abs(im) < 10 * jnp.finfo(im.dtype).eps
         complex_mask = ~real_mask
         pair_rank = jnp.cumsum(complex_mask) * complex_mask
         complex_select = complex_mask * (pair_rank % 2)
 
-        om_real = jnp.sqrt(jnp.abs(acf.real))
-        a, b = 2.0 * acf.real, 2.0 * acf.imag
-        c, d = -arroots.real, -arroots.imag
+        om_real = jnp.sqrt(jnp.abs(acf_re))
+        a, b = 2.0 * acf_re, 2.0 * acf_im
+        c, d = -re, -im
         c2, d2 = jnp.square(c), jnp.square(d)
         s2 = c2 + d2
         denom = jnp.where(real_mask, 1.0, 2.0 * c * s2)
@@ -720,13 +722,25 @@ class CARMA(Quasisep):
             alpha=alpha,
             beta=beta,
             sigma=sigma,
-            arroots=arroots,
-            acf=acf,
+            arroots_re=re,
+            arroots_im=im,
+            acf_re=acf_re,
+            acf_im=acf_im,
             _real_mask=real_mask,
             _complex_mask=complex_mask,
             _complex_select=complex_select,
             obsmodel=obsmodel,
         )
+
+    @property
+    def arroots(self) -> JAXArray:
+        """Complex AR roots (CPU-friendly view of the (re, im) fields)."""
+        return jax.lax.complex(self.arroots_re, self.arroots_im)
+
+    @property
+    def acf(self) -> JAXArray:
+        """Complex ACVF coefficients (CPU-friendly view)."""
+        return jax.lax.complex(self.acf_re, self.acf_im)
 
     @classmethod
     def init(cls, alpha: JAXArray, beta: JAXArray) -> CARMA:
@@ -758,18 +772,18 @@ class CARMA(Quasisep):
         return cls(alpha, beta)
 
     def design_matrix(self) -> JAXArray:
-        real = jnp.diag(self.arroots.real * self._real_mask)
-        cplx_diag = jnp.diag(self.arroots.real * self._complex_mask)
+        real = jnp.diag(self.arroots_re * self._real_mask)
+        cplx_diag = jnp.diag(self.arroots_re * self._complex_mask)
         cplx_off = jnp.diag(
-            (self.arroots.imag * self._complex_select)[:-1], k=1
+            (self.arroots_im * self._complex_select)[:-1], k=1
         )
         return real + cplx_diag + cplx_off - cplx_off.T
 
     def stationary_covariance(self) -> JAXArray:
-        p = self.acf.shape[0]
-        sign = jnp.diag(jnp.where(self.acf.real > 0, jnp.ones(p), -jnp.ones(p)))
-        denom = jnp.where(self._real_mask, 1.0, self.arroots.imag)
-        ratio = self.arroots.real / denom
+        p = self.acf_re.shape[0]
+        sign = jnp.diag(jnp.where(self.acf_re > 0, jnp.ones(p), -jnp.ones(p)))
+        denom = jnp.where(self._real_mask, 1.0, self.arroots_im)
+        ratio = self.arroots_re / denom
         second = jnp.diag(
             2.0
             * jnp.square(
@@ -785,8 +799,8 @@ class CARMA(Quasisep):
 
     def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
         dt = X2 - X1
-        c = -self.arroots.real
-        d = -self.arroots.imag
+        c = -self.arroots_re
+        d = -self.arroots_im
         decay = jnp.exp(-c * dt)
         real = jnp.diag(decay * self._real_mask)
         cplx_diag = jnp.diag(decay * jnp.cos(d * dt) * self._complex_mask)
@@ -796,11 +810,92 @@ class CARMA(Quasisep):
         return real + cplx_diag + cplx_off - cplx_off.T
 
 
-@jax.jit
+# -- complex-free complex arithmetic ----------------------------------------
+# This TPU backend lowers NO complex64 primitives (not even add), and the
+# reference's ``jnp.roots`` needs the ``eig`` primitive which has no TPU
+# rule at all (``/root/reference/src/tinygp/kernels/quasisep.py:903-906``).
+# All CARMA root/ACVF math therefore runs on (real, imag) pairs of real
+# arrays — plain VPU arithmetic that jits, vmaps, and differentiates.
+
+
+def _cmul(a, b):
+    return a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0]
+
+
+def _cdiv(a, b):
+    d = b[0] * b[0] + b[1] * b[1]
+    return (a[0] * b[0] + a[1] * b[1]) / d, (a[1] * b[0] - a[0] * b[1]) / d
+
+
+def _carma_roots_ri(poly_coeffs: JAXArray) -> tuple[JAXArray, JAXArray]:
+    """Roots (sorted by real part) of a real polynomial, as (re, im).
+
+    Degrees 1-2 use closed forms; higher degrees run a fixed-iteration
+    Durand-Kerner (Weierstrass) solver whose converged final step gives
+    implicit-function-quality derivatives.
+    """
+    p = poly_coeffs.shape[0] - 1
+    monic = poly_coeffs / poly_coeffs[-1]
+
+    if p == 1:
+        re, im = -monic[:1], jnp.zeros(1, monic.dtype)
+    elif p == 2:
+        b, c = monic[1], monic[0]
+        disc = b * b - 4.0 * c
+        sq = jnp.sqrt(jnp.abs(disc))
+        is_real = disc >= 0
+        re = jnp.where(
+            is_real,
+            jnp.stack([(-b - sq), (-b + sq)]) / 2.0,
+            jnp.stack([-b, -b]) / 2.0,
+        )
+        im = jnp.where(
+            is_real,
+            jnp.zeros(2, monic.dtype),
+            jnp.stack([-sq, sq]) / 2.0,
+        )
+    else:
+        # Staggered ring start (radius > root bound, irrational-ish angles
+        # so no start point is real or a symmetry fixed point).
+        radius = 1.0 + jnp.max(jnp.abs(monic[:-1]))
+        ang = 2.0 * jnp.pi * (jnp.arange(p) + 0.25) / p + 0.7
+        z = (radius * jnp.cos(ang), radius * jnp.sin(ang))
+        coef = monic[::-1]  # high-to-low for Horner
+
+        def poly(z):
+            acc = (jnp.full(p, coef[0]), jnp.zeros(p, monic.dtype))
+            for c in coef[1:]:
+                acc = _cmul(acc, z)
+                acc = (acc[0] + c, acc[1])
+            return acc
+
+        eye = jnp.eye(p, dtype=bool)
+
+        def step(z, _):
+            dr = z[0][:, None] - z[0][None, :]
+            di = z[1][:, None] - z[1][None, :]
+            dr = jnp.where(eye, 1.0, dr)
+            di = jnp.where(eye, 0.0, di)
+            denom = (jnp.ones(p, monic.dtype), jnp.zeros(p, monic.dtype))
+            for j in range(p):
+                denom = _cmul(denom, (dr[:, j], di[:, j]))
+            num = poly(z)
+            upd = _cdiv(num, denom)
+            return (z[0] - upd[0], z[1] - upd[1]), None
+
+        z, _ = jax.lax.scan(step, z, None, length=64)
+        re, im = z
+
+    order = jnp.argsort(re)
+    return re[order], im[order]
+
+
 def carma_roots(poly_coeffs: JAXArray) -> JAXArray:
-    """Sorted roots of a polynomial given low-to-high coefficients."""
-    roots = jnp.roots(poly_coeffs[::-1], strip_zeros=False)
-    return roots[jnp.argsort(roots.real)]
+    """Sorted complex roots (low-to-high coefficients). CPU-friendly
+    wrapper over the pair-arithmetic solver; on TPU use the internal
+    (re, im) form — this backend has no complex primitives."""
+    re, im = _carma_roots_ri(poly_coeffs)
+    return jax.lax.complex(re, im)
 
 
 @jax.jit
@@ -851,29 +946,62 @@ def carma_poly2quads(poly_coeffs: JAXArray) -> JAXArray:
     return jnp.append(jnp.array(quads), mult)
 
 
-def carma_acvf(
-    arroots: JAXArray, arparam: JAXArray, maparam: JAXArray
-) -> JAXArray:
-    r"""Autocovariance coefficients, one per AR root (Kelly+14 Eq. 4)."""
+def _carma_acvf_ri(
+    roots_re: JAXArray,
+    roots_im: JAXArray,
+    arparam: JAXArray,
+    maparam: JAXArray,
+) -> tuple[JAXArray, JAXArray]:
+    r"""Autocovariance coefficients (Kelly+14 Eq. 4), in (re, im) pairs."""
     arparam = jnp.atleast_1d(arparam)
     maparam = jnp.atleast_1d(maparam)
-    complex_dtype = jnp.result_type(arparam.dtype, jnp.complex64)
 
     p = arparam.shape[0]
     q = maparam.shape[0] - 1
     sigma = maparam[0]
     maparam = maparam / sigma
 
-    num_left = jnp.zeros(p, dtype=complex_dtype)
-    num_right = jnp.zeros(p, dtype=complex_dtype)
-    denom = -2.0 * arroots.real + jnp.zeros_like(arroots) * 1j
+    z = (roots_re, roots_im)
+    zneg = (-roots_re, -roots_im)
+    zero = jnp.zeros(p, roots_re.dtype)
+    num_left = (zero, zero)
+    num_right = (zero, zero)
+    pow_l = (jnp.ones(p, roots_re.dtype), zero)
+    pow_r = (jnp.ones(p, roots_re.dtype), zero)
     for k in range(q + 1):
-        num_left = num_left + maparam[k] * jnp.power(arroots, k)
-        num_right = num_right + maparam[k] * jnp.power(-arroots, k)
+        num_left = (
+            num_left[0] + maparam[k] * pow_l[0],
+            num_left[1] + maparam[k] * pow_l[1],
+        )
+        num_right = (
+            num_right[0] + maparam[k] * pow_r[0],
+            num_right[1] + maparam[k] * pow_r[1],
+        )
+        if k < q:
+            pow_l = _cmul(pow_l, z)
+            pow_r = _cmul(pow_r, zneg)
 
+    denom = (-2.0 * roots_re, zero)
     idx = jnp.arange(p)
     for j in range(1, p):
-        shifted = arroots[jnp.roll(idx, j)]
-        denom = denom * (shifted - arroots) * (jnp.conj(shifted) + arroots)
+        sh = jnp.roll(idx, j)
+        shifted = (roots_re[sh], roots_im[sh])
+        denom = _cmul(denom, (shifted[0] - roots_re, shifted[1] - roots_im))
+        # conj(shifted) + z
+        denom = _cmul(denom, (shifted[0] + roots_re, roots_im - shifted[1]))
 
-    return sigma**2 * num_left * num_right / denom
+    out = _cdiv(_cmul(num_left, num_right), denom)
+    return sigma**2 * out[0], sigma**2 * out[1]
+
+
+def carma_acvf(
+    arroots: JAXArray, arparam: JAXArray, maparam: JAXArray
+) -> JAXArray:
+    r"""Autocovariance coefficients, one per AR root (Kelly+14 Eq. 4).
+
+    CPU-friendly complex wrapper over the pair-arithmetic implementation.
+    """
+    re, im = _carma_acvf_ri(
+        jnp.real(arroots), jnp.imag(arroots), arparam, maparam
+    )
+    return jax.lax.complex(re, im)
