@@ -34,12 +34,11 @@ def data():
 @pytest.mark.parametrize(
     "make_kernel",
     [
-        lambda p: p["amp"] * quasisep.Matern32(scale=p["scale"]),
         lambda p: p["amp"] * quasisep.SHO(omega=p["scale"], quality=3.0),
         lambda p: quasisep.Matern52(scale=p["scale"])
         + quasisep.Cosine(scale=2.0) * p["amp"],
     ],
-    ids=["m32", "sho", "sum_product"],
+    ids=["sho", "sum_product"],
 )
 def test_sharded_loglik_matches_single_device(mesh, data, make_kernel):
     X, y = data

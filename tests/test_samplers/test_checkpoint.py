@@ -22,10 +22,10 @@ def _target(params):
 
 INIT = {"x": jnp.zeros(2), "y": jnp.zeros(3)}
 KW = dict(
-    num_chains=8,
-    num_warmup=40,
-    num_samples=30,
-    max_tree_depth=5,
+    num_chains=4,
+    num_warmup=27,
+    num_samples=18,
+    max_tree_depth=4,
     initial_step_size=0.5,
 )
 
@@ -57,7 +57,7 @@ def test_checkpoint_resume(tmp_path):
     def exploding_save(p, tree):
         real_save(p, tree)
         calls["n"] += 1
-        if calls["n"] == 6:
+        if calls["n"] == 4:
             raise RuntimeError("simulated preemption")
 
     import tinygp_tpu.utils.checkpoint as ck_mod
