@@ -46,6 +46,7 @@ from __future__ import annotations
 __all__ = ["affine_scan", "congruence_scan", "riccati_scan", "monoid_scan"]
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from tinygp_tpu.helpers import JAXArray, pdot
@@ -288,53 +289,175 @@ def monoid_scan(combine, identity, elems, *, reverse: bool = False):
 
 # ---------------------------------------------------------------------------
 # The three recurrences. Row-major (N-leading) API at the boundary for
-# compatibility with the QSM classes; the parallel strategy converts to
-# lane-major at entry (the transposes fuse into neighbouring computations
-# inside a jit, so nothing materializes in the padded layout).
+# compatibility with the QSM classes; internally everything runs in the
+# STACKED representation: an (N, m, k) array becomes one (m*k, N) leaf with
+# scalar components on the leading axis and the data axis last. Stacked
+# leaves are what materialize at scan/loop boundaries, and their trailing
+# two dims (C >= 6, N) tile efficiently — both standalone and under vmap
+# (a chain batch lands in front: (B, C, N)). The earlier (m, m, N) layout
+# wasted 4x of every tile on the m=2 sublane and made 1024-chain NUTS
+# ~4x slower than the arithmetic requires.
 # ---------------------------------------------------------------------------
 
 
-def _affine_impl(
-    A: JAXArray, B: JAXArray, *, reverse: bool, exclusive: bool
-) -> JAXArray:
-    """Blocked lane-major strategy for the affine recurrence (dense A)."""
-    Al = _to_lanes_mat(A)
-    Bl = _to_lanes_mat(B)
+def _pack3(a: JAXArray) -> JAXArray:
+    """(N, m, k) -> stacked (m*k, N)."""
+    m, k = a.shape[-2], a.shape[-1]
+    return jnp.transpose(a, (1, 2, 0)).reshape(m * k, a.shape[0])
+
+
+def _unpack3(s: JAXArray, m: int, k: int) -> JAXArray:
+    """Stacked (m*k, N) -> (N, m, k)."""
+    return jnp.transpose(s.reshape(m, k, s.shape[-1]), (2, 0, 1))
+
+
+def _smm(A, B, m, k, r):
+    """Stacked matmul: (..., m*k, N) x (..., k*r, N) -> (..., m*r, N).
+
+    The component axis sits SECOND-TO-LAST so that any leading axes
+    (vmap batches, the blocked scan's step axis) broadcast through, and
+    materialized leaves keep the well-tiled (C, N) trailing shape.
+    """
+    rows = []
+    for i in range(m):
+        for j in range(r):
+            acc = A[..., i * k, :] * B[..., j, :]
+            for l in range(1, k):
+                acc = acc + A[..., i * k + l, :] * B[..., l * r + j, :]
+            rows.append(acc)
+    return jnp.stack(rows, axis=-2)
+
+
+def _smm_t(A, B, m, k, r):
+    """Stacked ``A @ B^T``: (..., m*k, N) x (..., r*k, N) -> (..., m*r, N)."""
+    rows = []
+    for i in range(m):
+        for j in range(r):
+            acc = A[..., i * k, :] * B[..., j * k, :]
+            for l in range(1, k):
+                acc = acc + A[..., i * k + l, :] * B[..., j * k + l, :]
+            rows.append(acc)
+    return jnp.stack(rows, axis=-2)
+
+
+def _st(A, m, k):
+    """Stacked transpose: (..., m*k, N) -> (..., k*m, N) row permutation."""
+    perm = np.asarray([i * k + j for j in range(k) for i in range(m)])
+    return jnp.take(A, perm, axis=-2)
+
+
+def _smv(M, v, m, k):
+    """Stacked matvec: (..., m*k, N) x (..., k, N) -> (..., m, N)."""
+    rows = []
+    for i in range(m):
+        acc = M[..., i * k, :] * v[..., 0, :]
+        for l in range(1, k):
+            acc = acc + M[..., i * k + l, :] * v[..., l, :]
+        rows.append(acc)
+    return jnp.stack(rows, axis=-2)
+
+
+def _souter(u, v):
+    """Stacked outer: (..., m, N) x (..., r, N) -> (..., m*r, N)."""
+    m, r = u.shape[-2], v.shape[-2]
+    return jnp.stack(
+        [u[..., i, :] * v[..., j, :] for i in range(m) for j in range(r)],
+        axis=-2,
+    )
+
+
+def _seye(m: int, dtype) -> JAXArray:
+    """Stacked identity with a broadcastable singleton lane axis."""
+    return jnp.eye(m, dtype=dtype).reshape(m * m, 1)
+
+
+def _ssolve(M, B, m, r):
+    """Stacked ``solve(M, B)`` with closed-form adjugates for m <= 3."""
+    if m == 1:
+        return B / M[..., :1, :]
+    if m == 2:
+        a, b = M[..., 0, :], M[..., 1, :]
+        c, d = M[..., 2, :], M[..., 3, :]
+        inv_det = 1.0 / (a * d - b * c)
+        inv = jnp.stack([d, -b, -c, a], axis=-2) * inv_det[..., None, :]
+        return _smm(inv, B, m, m, r)
+    if m == 3:
+        a, b, c = M[..., 0, :], M[..., 1, :], M[..., 2, :]
+        d, e, f = M[..., 3, :], M[..., 4, :], M[..., 5, :]
+        g, h, i = M[..., 6, :], M[..., 7, :], M[..., 8, :]
+        A = e * i - f * h
+        Bc = -(d * i - f * g)
+        C = d * h - e * g
+        D = -(b * i - c * h)
+        E = a * i - c * g
+        F = -(a * h - b * g)
+        G = b * f - c * e
+        H = -(a * f - c * d)
+        I = a * e - b * d
+        inv_det = 1.0 / (a * A + b * Bc + c * C)
+        inv = (
+            jnp.stack([A, D, G, Bc, E, H, C, F, I], axis=-2)
+            * inv_det[..., None, :]
+        )
+        return _smm(inv, B, m, m, r)
+    # General fallback: unstack to batched matrices for an LU solve.
+    Mb = jnp.moveaxis(
+        M.reshape(M.shape[:-2] + (m, m, M.shape[-1])), -1, -3
+    )
+    Bb = jnp.moveaxis(
+        B.reshape(B.shape[:-2] + (m, r, B.shape[-1])), -1, -3
+    )
+    out = jnp.moveaxis(jnp.linalg.solve(Mb, Bb), -3, -1)
+    return out.reshape(out.shape[:-3] + (m * r, out.shape[-1]))
+
+
+# ---------------------------------------------------------------------------
+# Affine.
+# ---------------------------------------------------------------------------
+
+
+def _affine_scan_s(As, Bs, m, r, *, reverse: bool, exclusive: bool):
+    """Stacked affine scan: As (m*m, N), Bs (m*r, N) -> exclusive states."""
 
     def combine(earlier, later):
         A_e, B_e = earlier
         A_l, B_l = later
         if reverse:
             # Suffix composition: earlier map applies on the outside.
-            return _mm(A_e, A_l), _mm(A_e, B_l) + B_e
-        return _mm(A_l, A_e), _mm(A_l, B_e) + B_l
+            return (
+                _smm(A_e, A_l, m, m, m),
+                _smm(A_e, B_l, m, m, r) + B_e,
+            )
+        return (
+            _smm(A_l, A_e, m, m, m),
+            _smm(A_l, B_e, m, m, r) + B_l,
+        )
 
-    m = Al.shape[0]
-    identity = (
-        _eye_lanes(m, Al.dtype),
-        jnp.zeros(Bl.shape[:-1] + (1,), Bl.dtype),
-    )
-    excl = monoid_scan(combine, identity, (Al, Bl), reverse=reverse)
+    identity = (_seye(m, As.dtype), jnp.zeros((m * r, 1), Bs.dtype))
+    excl = monoid_scan(combine, identity, (As, Bs), reverse=reverse)
     if exclusive:
-        e = excl[1]
-    else:
-        pair = (Al, Bl)
-        incl = combine(pair, excl) if reverse else combine(excl, pair)
-        e = incl[1]
-    return _from_lanes_mat(e)
+        return excl[1]
+    pair = (As, Bs)
+    incl = combine(pair, excl) if reverse else combine(excl, pair)
+    return incl[1]
 
 
-def _shift_transitions(A: JAXArray, reverse: bool) -> JAXArray:
-    """``A~_k = A_{k+1}`` (forward) or ``A_{k-1}`` (reverse), identity fill.
+def _affine_impl(
+    A: JAXArray, B: JAXArray, *, reverse: bool, exclusive: bool
+) -> JAXArray:
+    m, r = B.shape[-2], B.shape[-1]
+    e = _affine_scan_s(
+        _pack3(A), _pack3(B), m, r, reverse=reverse, exclusive=exclusive
+    )
+    return _unpack3(e, m, r)
 
-    The adjoint of an *inclusive* affine/congruence scan couples state k to
-    the output at k and to state k -/+ 1 through the *next* transition, so
-    the backward recurrence consumes transitions shifted by one step.
-    """
-    eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A[:1].shape)
+
+def _sshift_lane(X: JAXArray, fill: JAXArray, reverse: bool) -> JAXArray:
+    """Shift stacked leaves one step along the lane axis, filling the end."""
+    fill = jnp.broadcast_to(fill, X.shape[:-1] + (1,))
     if reverse:
-        return jnp.concatenate([eye, A[:-1]], axis=0)
-    return jnp.concatenate([A[1:], eye], axis=0)
+        return jnp.concatenate([fill, X[..., :-1]], axis=-1)
+    return jnp.concatenate([X[..., 1:], fill], axis=-1)
 
 
 def _make_affine_parallel(reverse: bool, exclusive: bool):
@@ -351,6 +474,9 @@ def _make_affine_parallel(reverse: bool, exclusive: bool):
 
     (indices shown for the forward scan; reverse mirrors). The backward
     calls the *plain* implementation, so higher-order AD still works.
+    Residuals are stored stacked — (N, m, m) residuals crossing a loop
+    boundary (e.g. a leapfrog while_loop) would materialize with ~256x
+    tile padding, enough to OOM a 1024-chain NUTS run.
     """
 
     @jax.custom_vjp
@@ -358,30 +484,28 @@ def _make_affine_parallel(reverse: bool, exclusive: bool):
         return _affine_impl(A, B, reverse=reverse, exclusive=exclusive)
 
     def fwd(A, B):
-        e = _affine_impl(A, B, reverse=reverse, exclusive=exclusive)
-        # Residuals lane-major: row-major (N, m, m) residuals materialize
-        # in (8, 128)-tiled layout when they cross a loop boundary (e.g.
-        # a leapfrog while_loop), padding HBM ~256x — enough to OOM a
-        # 1024-chain NUTS run.
-        return e, (_to_lanes_mat(A), _to_lanes_mat(e))
+        m, r = B.shape[-2], B.shape[-1]
+        As = _pack3(A)
+        es = _affine_scan_s(
+            As, _pack3(B), m, r, reverse=reverse, exclusive=exclusive
+        )
+        return _unpack3(es, m, r), (As, es)
 
     def bwd(res, ebar):
-        Al, el = res
-        A = _from_lanes_mat(Al)
-        At = jnp.swapaxes(A, -1, -2)
+        As, es = res
+        m, r = ebar.shape[-2], ebar.shape[-1]
+        At = _st(As, m, m)
         if not exclusive:
-            At = _shift_transitions(At, reverse)
-        gbar = _affine_impl(At, ebar, reverse=not reverse, exclusive=exclusive)
-        if not exclusive:
-            # Exclusive outputs from the saved inclusive ones (zero fill).
-            zero = jnp.zeros_like(el[..., :1])
-            el = (
-                jnp.concatenate([el[..., 1:], zero], axis=-1)
-                if reverse
-                else jnp.concatenate([zero, el[..., :-1]], axis=-1)
-            )
-        Abar = _from_lanes_mat(_mm(_to_lanes_mat(gbar), _mT(el)))
-        return Abar, gbar
+            # The adjoint of the inclusive scan consumes transitions
+            # shifted by one step (identity fill), and pairs gbar with the
+            # shifted (exclusive) outputs.
+            At = _sshift_lane(At, _seye(m, At.dtype), reverse)
+            es = _sshift_lane(es, jnp.zeros((), es.dtype), not reverse)
+        gbar = _affine_scan_s(
+            At, _pack3(ebar), m, r, reverse=not reverse, exclusive=exclusive
+        )
+        Abar = _smm_t(gbar, es, m, r, m)
+        return _unpack3(Abar, m, m), _unpack3(gbar, m, r)
 
     scan.defvjp(fwd, bwd)
     return scan
@@ -408,8 +532,8 @@ def affine_scan(
         A: Transitions, shape ``(n, m, m)``.
         B: Loads, shape ``(n, m, r)`` (or ``(n, m)`` for a single rhs).
         reverse: Run right-to-left (``g_k = A_k g_{k+1} + B_k``).
-        parallel: Blocked lane-major strategy (default) or the sequential
-            oracle.
+        parallel: Blocked stacked-scan strategy (default) or the
+            sequential oracle.
         exclusive: Return the carry *before* step k (default) rather than
             after it.
 
@@ -434,25 +558,36 @@ def affine_scan(
     return e[..., 0] if squeeze else e
 
 
-def _congruence_impl(A: JAXArray, B: JAXArray, *, reverse: bool) -> JAXArray:
-    """Blocked lane-major strategy for the congruence recurrence (dense A)."""
-    Al = _to_lanes_mat(A)
-    Bl = _to_lanes_mat(B)
+# ---------------------------------------------------------------------------
+# Congruence.
+# ---------------------------------------------------------------------------
+
+
+def _congruence_scan_s(As, Bs, m, *, reverse: bool):
+    """Stacked congruence scan: exclusive prefix of g = A g A^T + B."""
 
     def combine(earlier, later):
         A_e, B_e = earlier
         A_l, B_l = later
         if reverse:
-            return _mm(A_e, A_l), _mm(_mm(A_e, B_l), _mT(A_e)) + B_e
-        return _mm(A_l, A_e), _mm(_mm(A_l, B_e), _mT(A_l)) + B_l
+            return (
+                _smm(A_e, A_l, m, m, m),
+                _smm_t(_smm(A_e, B_l, m, m, m), A_e, m, m, m) + B_e,
+            )
+        return (
+            _smm(A_l, A_e, m, m, m),
+            _smm_t(_smm(A_l, B_e, m, m, m), A_l, m, m, m) + B_l,
+        )
 
-    m = Al.shape[0]
-    identity = (
-        _eye_lanes(m, Al.dtype),
-        jnp.zeros((m, m, 1), Bl.dtype),
-    )
-    _, e = monoid_scan(combine, identity, (Al, Bl), reverse=reverse)
-    return _from_lanes_mat(e)
+    identity = (_seye(m, As.dtype), jnp.zeros((m * m, 1), Bs.dtype))
+    _, e = monoid_scan(combine, identity, (As, Bs), reverse=reverse)
+    return e
+
+
+def _congruence_impl(A: JAXArray, B: JAXArray, *, reverse: bool) -> JAXArray:
+    m = A.shape[-1]
+    e = _congruence_scan_s(_pack3(A), _pack3(B), m, reverse=reverse)
+    return _unpack3(e, m, m)
 
 
 def _make_congruence_parallel(reverse: bool):
@@ -473,18 +608,20 @@ def _make_congruence_parallel(reverse: bool):
         return _congruence_impl(A, B, reverse=reverse)
 
     def fwd(A, B):
-        e = _congruence_impl(A, B, reverse=reverse)
-        # Lane-major residuals: see the affine fwd note on tile padding.
-        return e, (_to_lanes_mat(A), _to_lanes_mat(e))
+        m = A.shape[-1]
+        As = _pack3(A)
+        es = _congruence_scan_s(As, _pack3(B), m, reverse=reverse)
+        return _unpack3(es, m, m), (As, es)
 
     def bwd(res, ebar):
-        Al, el = res
-        At = _from_lanes_mat(_mT(Al))
-        gbar = _congruence_impl(At, ebar, reverse=not reverse)
-        gl = _to_lanes_mat(gbar)
-        S = gl + _mT(gl)
-        Abar = _from_lanes_mat(_mm(_mm(S, Al), el))
-        return Abar, gbar
+        As, es = res
+        m = ebar.shape[-1]
+        gbar = _congruence_scan_s(
+            _st(As, m, m), _pack3(ebar), m, reverse=not reverse
+        )
+        S = gbar + _st(gbar, m, m)
+        Abar = _smm(_smm(S, As, m, m, m), es, m, m, m)
+        return _unpack3(Abar, m, m), _unpack3(gbar, m, m)
 
     scan.defvjp(fwd, bwd)
     return scan
@@ -512,7 +649,7 @@ def congruence_scan(
         A: Transitions, shape ``(n, m, m)``.
         B: Symmetric loads, shape ``(n, m, m)``.
         reverse: Run right-to-left and return the right-exclusive prefix.
-        parallel: Blocked lane-major strategy (default) or sequential.
+        parallel: Blocked stacked-scan strategy (default) or sequential.
     """
     if parallel:
         return _CONGRUENCE_PARALLEL[reverse](_dense_transitions(A), B)
@@ -524,6 +661,11 @@ def congruence_scan(
     init = jnp.zeros_like(B[0])
     _, e = jax.lax.scan(step, init, (A, B), reverse=reverse)
     return e
+
+
+# ---------------------------------------------------------------------------
+# Riccati.
+# ---------------------------------------------------------------------------
 
 
 def riccati_scan(
@@ -560,7 +702,7 @@ def riccati_scan(
         G = G_e + A_e^T M^{-T} G_l A_e
 
     which is associative, so the blocked scan evaluates all prefixes in
-    ~64 log_64 N depth at the cost of m×m solves per merge.
+    ~(block + log N) depth at the cost of m x m solves per merge.
     """
     if not parallel:
         def step(F, inputs):
@@ -578,15 +720,58 @@ def riccati_scan(
     return _riccati_parallel(d, p, q, _dense_transitions(a))
 
 
+def _riccati_scan_s(d, ps, qs, as_, m):
+    """Stacked Riccati flow: returns the exclusive prefix F (m*m, N)."""
+    inv_d = 1.0 / d
+    A0 = as_ - _souter(qs, ps) * inv_d
+    F0 = _souter(qs, qs) * inv_d
+    G0 = -_souter(ps, ps) * inv_d
+    eye = _seye(m, ps.dtype)
+
+    def combine(earlier, later):
+        A_e, F_e, G_e = earlier
+        A_l, F_l, G_l = later
+        M = eye + _smm(F_e, G_l, m, m, m)
+        A = _smm(A_l, _ssolve(M, A_e, m, m), m, m, m)
+        F = F_l + _smm_t(
+            _smm(A_l, _ssolve(M, F_e, m, m), m, m, m), A_l, m, m, m
+        )
+        G = G_e + _smm(
+            _smm(
+                _st(A_e, m, m),
+                _ssolve(_st(M, m, m), G_l, m, m),
+                m, m, m,
+            ),
+            A_e, m, m, m,
+        )
+        return A, F, G
+
+    identity = (
+        _seye(m, ps.dtype),
+        jnp.zeros((m * m, 1), ps.dtype),
+        jnp.zeros((m * m, 1), ps.dtype),
+    )
+    _, F, _ = monoid_scan(combine, identity, (A0, F0, G0))
+    return F
+
+
+def _riccati_impl(d, p, q, a):
+    m = p.shape[1]
+    F = _riccati_scan_s(d, p.T, q.T, _pack3(_dense_transitions(a)), m)
+    return _unpack3(F, m, m)
+
+
 @jax.custom_vjp
 def _riccati_parallel(d, p, q, a):
     return _riccati_impl(d, p, q, a)
 
 
 def _riccati_parallel_fwd(d, p, q, a):
-    F = _riccati_impl(d, p, q, a)
-    # Lane-major residuals: see the affine fwd note on tile padding.
-    return F, (d, p.T, q.T, _to_lanes_mat(a), _to_lanes_mat(F))
+    m = p.shape[1]
+    ps, qs, as_ = p.T, q.T, _pack3(a)
+    Fs = _riccati_scan_s(d, ps, qs, as_, m)
+    # Stacked residuals: see the affine fwd note on tile padding.
+    return _unpack3(Fs, m, m), (d, ps, qs, as_, Fs)
 
 
 def _riccati_parallel_bwd(res, Ybar):
@@ -608,76 +793,36 @@ def _riccati_parallel_bwd(res, Ybar):
         pbar = -F a^T S u / c2 + (u . S u) / c2^2 * F p
         abar = S a F - S u (F p)^T / c2
     """
-    # Residuals arrive lane-major (matrices (m, m, N), vectors (m, N)):
-    # row-major (N, m, m) ops with tiny trailing dims pad ~256x in TPU
-    # tiles and at N=1e6 turn this pass into a memory bomb.
-    d, pl, ql, al, Fl = res
+    d, ps, qs, as_, Fs = res
+    m = ps.shape[0]
 
-    def mv(M, v):
-        return _mm(M, v[:, None, :])[:, 0, :]
-
-    def outer(x, y):
-        return x[:, None, :] * y[None, :, :]
-
-    Fp = mv(Fl, pl)
-    c2 = d - jnp.sum(pl * Fp, axis=0)
-    u = ql - mv(al, Fp)
+    Fp = _smv(Fs, ps, m, m)
+    c2 = d - jnp.sum(ps * Fp, axis=0)
+    u = qs - _smv(as_, Fp, m, m)
     inv_c2 = 1.0 / c2
-    atil = al - outer(u, pl) * inv_c2
+    atil = as_ - _souter(u, ps) * inv_c2
 
     # Gbar_k = Fbar_{k+1}: the right-exclusive suffix of the adjoint flow,
     # which is exactly what step k's input cotangents consume.
-    Gbar = _congruence_impl(
-        _from_lanes_mat(_mT(atil)), Ybar, reverse=True
+    Gbar = _congruence_scan_s(
+        _st(atil, m, m), _pack3(Ybar), m, reverse=True
     )
 
-    Gl = _to_lanes_mat(Gbar)
-    S = Gl + _mT(Gl)
-    Su = mv(S, u)
+    S = Gbar + _st(Gbar, m, m)
+    Su = _smv(S, u, m, m)
     uSu = jnp.sum(u * Su, axis=0)
 
     qbar = Su * inv_c2
     dbar = -0.5 * uSu * inv_c2**2
-    aTSu = mv(_mT(al), Su)
-    pbar = -mv(Fl, aTSu) * inv_c2 + (uSu * inv_c2**2) * Fp
-    abar = _mm(_mm(S, al), Fl) - outer(Su, Fp) * inv_c2
-    return dbar, pbar.T, qbar.T, _from_lanes_mat(abar)
+    aTSu = _smv(_st(as_, m, m), Su, m, m)
+    pbar = -_smv(Fs, aTSu, m, m) * inv_c2 + (uSu * inv_c2**2) * Fp
+    abar = _smm(_smm(S, as_, m, m, m), Fs, m, m, m) - _souter(
+        Su, Fp
+    ) * inv_c2
+    return dbar, pbar.T, qbar.T, _unpack3(abar, m, m)
 
 
 _riccati_parallel.defvjp(_riccati_parallel_fwd, _riccati_parallel_bwd)
-
-
-def _riccati_impl(d, p, q, a):
-    m = p.shape[1]
-    pl = p.T  # (m, N)
-    ql = q.T
-    al = _to_lanes_mat(_dense_transitions(a))
-    inv_d = 1.0 / d  # (N,)
-
-    def outer(u, v):
-        return u[:, None, :] * v[None, :, :]
-
-    A0 = al - outer(ql, pl) * inv_d
-    F0 = outer(ql, ql) * inv_d
-    G0 = -outer(pl, pl) * inv_d
-    eye = _eye_lanes(m, pl.dtype)
-
-    def combine(earlier, later):
-        A_e, F_e, G_e = earlier
-        A_l, F_l, G_l = later
-        M = eye + _mm(F_e, G_l)
-        A = _mm(A_l, _solve_small(M, A_e))
-        F = F_l + _mm(_mm(A_l, _solve_small(M, F_e)), _mT(A_l))
-        G = G_e + _mm(_mm(_mT(A_e), _solve_small(_mT(M), G_l)), A_e)
-        return A, F, G
-
-    identity = (
-        _eye_lanes(m, pl.dtype),
-        jnp.zeros((m, m, 1), pl.dtype),
-        jnp.zeros((m, m, 1), pl.dtype),
-    )
-    _, F, _ = monoid_scan(combine, identity, (A0, F0, G0))
-    return _from_lanes_mat(F)
 
 
 def _dense_transitions(A: JAXArray) -> JAXArray:
