@@ -44,7 +44,7 @@ from tinygp_tpu.solvers.quasisep import scan as chip_scan
 def _select_prefix(combine, identity, totals, my_idx):
     """Exclusive prefix of the length-D gathered totals at this device.
 
-    ``totals`` leaves have the device axis LAST (lane-major). D is the mesh
+    ``totals`` leaves have the device axis LAST (stacked layout). D is the mesh
     size — tiny — so a sequential exclusive scan followed by a dynamic
     lane-slice is cheap and identical on every device.
     """
@@ -81,26 +81,26 @@ def sharded_affine_scan(
     ``A``: local ``(n, m, m)`` transitions; ``B``: local ``(n, m, r)``
     loads. Returns the local slice of the global exclusive prefix states.
     """
-    Al = chip_scan._to_lanes_mat(A)
-    Bl = chip_scan._to_lanes_mat(B)
+    m, r = B.shape[-2], B.shape[-1]
+    As = chip_scan._pack3(A)
+    Bs = chip_scan._pack3(B)
 
     def combine(earlier, later):
         A_e, B_e = earlier
         A_l, B_l = later
         return (
-            chip_scan._mm(A_l, A_e),
-            chip_scan._mm(A_l, B_e) + B_l,
+            chip_scan._smm(A_l, A_e, m, m, m),
+            chip_scan._smm(A_l, B_e, m, m, r) + B_l,
         )
 
-    m = Al.shape[0]
     identity = (
-        chip_scan._eye_lanes(m, Al.dtype),
-        jnp.zeros(Bl.shape[:-1] + (1,), Bl.dtype),
+        chip_scan._seye(m, As.dtype),
+        jnp.zeros((m * r, 1), Bs.dtype),
     )
     _, e = sharded_monoid_scan(
-        combine, identity, (Al, Bl), axis_name=axis_name
+        combine, identity, (As, Bs), axis_name=axis_name
     )
-    return chip_scan._from_lanes_mat(e)
+    return chip_scan._unpack3(e, m, r)
 
 
 def sharded_riccati_scan(
@@ -118,46 +118,46 @@ def sharded_riccati_scan(
     device combine merges per-shard linear-fractional maps.
     """
     m = p.shape[1]
-    pl = p.T
-    ql = q.T
-    al = chip_scan._to_lanes_mat(chip_scan._dense_transitions(a))
+    ps = p.T
+    qs = q.T
+    as_ = chip_scan._pack3(chip_scan._dense_transitions(a))
     inv_d = 1.0 / d
 
-    def outer(u, v):
-        return u[:, None, :] * v[None, :, :]
-
-    A0 = al - outer(ql, pl) * inv_d
-    F0 = outer(ql, ql) * inv_d
-    G0 = -outer(pl, pl) * inv_d
-    eye = chip_scan._eye_lanes(m, pl.dtype)
+    A0 = as_ - chip_scan._souter(qs, ps) * inv_d
+    F0 = chip_scan._souter(qs, qs) * inv_d
+    G0 = -chip_scan._souter(ps, ps) * inv_d
+    eye = chip_scan._seye(m, ps.dtype)
 
     def combine(earlier, later):
         A_e, F_e, G_e = earlier
         A_l, F_l, G_l = later
-        M = eye + chip_scan._mm(F_e, G_l)
-        A = chip_scan._mm(A_l, chip_scan._solve_small(M, A_e))
-        F = F_l + chip_scan._mm(
-            chip_scan._mm(A_l, chip_scan._solve_small(M, F_e)),
-            chip_scan._mT(A_l),
+        M = eye + chip_scan._smm(F_e, G_l, m, m, m)
+        A = chip_scan._smm(
+            A_l, chip_scan._ssolve(M, A_e, m, m), m, m, m
         )
-        G = G_e + chip_scan._mm(
-            chip_scan._mm(
-                chip_scan._mT(A_e),
-                chip_scan._solve_small(chip_scan._mT(M), G_l),
+        F = F_l + chip_scan._smm_t(
+            chip_scan._smm(A_l, chip_scan._ssolve(M, F_e, m, m), m, m, m),
+            A_l, m, m, m,
+        )
+        G = G_e + chip_scan._smm(
+            chip_scan._smm(
+                chip_scan._st(A_e, m, m),
+                chip_scan._ssolve(chip_scan._st(M, m, m), G_l, m, m),
+                m, m, m,
             ),
-            A_e,
+            A_e, m, m, m,
         )
         return A, F, G
 
     identity = (
-        chip_scan._eye_lanes(m, pl.dtype),
-        jnp.zeros((m, m, 1), pl.dtype),
-        jnp.zeros((m, m, 1), pl.dtype),
+        chip_scan._seye(m, ps.dtype),
+        jnp.zeros((m * m, 1), ps.dtype),
+        jnp.zeros((m * m, 1), ps.dtype),
     )
     _, F, _ = sharded_monoid_scan(
         combine, identity, (A0, F0, G0), axis_name=axis_name
     )
-    return chip_scan._from_lanes_mat(F)
+    return chip_scan._unpack3(F, m, m)
 
 
 def _local_loglik_pieces(d, p, q, a, y, *, axis_name: str):
