@@ -105,6 +105,12 @@ class GaussianProcess(Module):
                 solver = QuasisepSolver
             else:
                 solver = DirectSolver
+        if solver is DirectSolver:
+            # Quasisep-only switches are harmless no-ops on the dense path;
+            # dropping them lets one model function serve both solvers
+            # (e.g. sweeping kernels with assume_sorted=True set).
+            solver_kwargs.pop("assume_sorted", None)
+            solver_kwargs.pop("parallel", None)
 
         self._init(
             num_data=mean_value.shape[0],
