@@ -16,21 +16,23 @@ surrounding math:
 
 - ``parallel=False``: a sequential ``lax.scan`` over the data axis — O(N m^2)
   work, O(N) depth. The oracle path; also fastest on CPU for small m.
-- ``parallel=True`` (the TPU default): a **blocked, lane-major multi-level
-  scan** (:func:`monoid_scan`). Two TPU facts drive this design:
+- ``parallel=True`` (the TPU default): a **blocked multi-level scan over
+  stacked component state** (:func:`monoid_scan`). Two TPU facts drive
+  this design:
 
-  * ``lax.associative_scan``'s odd/even recursion emits an O(N)-size HLO
-    program — compile time explodes (and the TPU AOT helper crashes) past
-    ~10^4 elements. The blocked scan runs a fixed number of sequential
-    steps per level with *all blocks batched across vector lanes*, so the
-    compiled program is O(1) in N and the depth is ~64·log_64 N.
+  * ``lax.associative_scan``'s odd/even recursion emits an O(n)-size HLO
+    program, so it is used only for levels up to ``_ASSOC_CUTOFF``; above
+    that, blocked levels run a fixed number of sequential steps with all
+    blocks batched across vector lanes, keeping total sequential depth
+    ~(block + log2 N) for any N.
   * TPU tiles the **last two axes** of every buffer to (8, 128) lanes.
-    Arrays shaped (N, m, m) with tiny trailing dims waste ~256x of the
-    memory system, and anything crossing a loop boundary materializes in
-    that layout. All scan-crossing state is therefore **lane-major**:
-    matrices are (m, m, N), vectors (m, N), with the long axis N on the
-    128-lane dimension; the m×m algebra becomes unrolled elementwise
-    arithmetic over N-vectors on the VPU.
+    Scan-crossing state is therefore STACKED: an (N, m, k) operand becomes
+    one (m*k, N) leaf with scalar components on the second-to-last axis
+    and the data axis on lanes, so materialized leaves tile as
+    (C >= 6, N) instead of (m=2, N) — and a vmapped chain batch lands in
+    front ((B, C, N)) with the same tiling. The m×m algebra is unrolled
+    elementwise arithmetic over N-vectors on the VPU, with the component
+    axis addressed at -2 so leading batch/step axes broadcast through.
 
 The Riccati flow composes as a linear-fractional (Möbius) map on matrix
 fractions, so its associative combine solves small m×m systems per merge
@@ -65,104 +67,6 @@ _ASSOC_CUTOFF = 8192
 # on TPU carry fixed dispatch/slice overhead, so folding several combines
 # into each iteration is nearly free throughput.
 _UNROLL = 8
-
-
-# ---------------------------------------------------------------------------
-# Lane-major helpers: matrices (..., i, j, N), vectors (..., i, N).
-# ---------------------------------------------------------------------------
-
-
-def _mm(A: JAXArray, B: JAXArray) -> JAXArray:
-    """Lane-major matmul: (..., i, j, N) x (..., j, k, N) -> (..., i, k, N).
-
-    Unrolled into explicit multiply-adds for small m so the contraction
-    stays on the VPU as fused elementwise ops over the lane axis — an
-    einsum here becomes a batched dot_general that TPU routes through the
-    MXU with k=m=2 (waste) and bf16 operand demotion (precision loss).
-    """
-    m = A.shape[-3]
-    k = A.shape[-2]
-    r = B.shape[-2]
-    if k <= 8:
-        rows = []
-        for i in range(m):
-            cols = []
-            for j in range(r):
-                acc = A[..., i, 0, :] * B[..., 0, j, :]
-                for l in range(1, k):
-                    acc = acc + A[..., i, l, :] * B[..., l, j, :]
-                cols.append(acc)
-            rows.append(jnp.stack(cols, axis=-2))
-        return jnp.stack(rows, axis=-3)
-    return jnp.einsum("...ijn,...jkn->...ikn", A, B, precision="highest")
-
-
-def _mT(A: JAXArray) -> JAXArray:
-    """Lane-major matrix transpose."""
-    return jnp.swapaxes(A, -3, -2)
-
-
-def _to_lanes_mat(a: JAXArray) -> JAXArray:
-    """(N, i, j) -> (i, j, N)."""
-    return jnp.transpose(a, (1, 2, 0))
-
-
-def _from_lanes_mat(a: JAXArray) -> JAXArray:
-    """(i, j, N) -> (N, i, j)."""
-    return jnp.transpose(a, (2, 0, 1))
-
-
-def _eye_lanes(m: int, dtype) -> JAXArray:
-    return jnp.eye(m, dtype=dtype)[:, :, None]
-
-
-def _solve_small(M: JAXArray, B: JAXArray) -> JAXArray:
-    """Lane-major batched ``solve(M, B)`` for tiny state dimensions.
-
-    For m <= 3, the closed-form adjugate inverse — pure VPU arithmetic over
-    the lane axis with no LU custom-call. Falls back to ``jnp.linalg.solve``
-    (with layout round-trips) for larger m.
-    """
-    m = M.shape[-3]
-    if m == 1:
-        return B / M[..., :1, :1, :]
-    if m == 2:
-        a = M[..., 0, 0, :]
-        b = M[..., 0, 1, :]
-        c = M[..., 1, 0, :]
-        d = M[..., 1, 1, :]
-        inv_det = 1.0 / (a * d - b * c)
-        row0 = jnp.stack([d, -b], axis=-2)
-        row1 = jnp.stack([-c, a], axis=-2)
-        inv = jnp.stack([row0, row1], axis=-3) * inv_det[..., None, None, :]
-        return _mm(inv, B)
-    if m == 3:
-        a, b, c = M[..., 0, 0, :], M[..., 0, 1, :], M[..., 0, 2, :]
-        d, e, f = M[..., 1, 0, :], M[..., 1, 1, :], M[..., 1, 2, :]
-        g, h, i = M[..., 2, 0, :], M[..., 2, 1, :], M[..., 2, 2, :]
-        A = e * i - f * h
-        Bc = -(d * i - f * g)
-        C = d * h - e * g
-        D = -(b * i - c * h)
-        E = a * i - c * g
-        F = -(a * h - b * g)
-        G = b * f - c * e
-        H = -(a * f - c * d)
-        I = a * e - b * d
-        inv_det = 1.0 / (a * A + b * Bc + c * C)
-        rows = [
-            jnp.stack([A, D, G], axis=-2),
-            jnp.stack([Bc, E, H], axis=-2),
-            jnp.stack([C, F, I], axis=-2),
-        ]
-        inv = jnp.stack(rows, axis=-3) * inv_det[..., None, None, :]
-        return _mm(inv, B)
-    # General fallback: move lanes to the batch position for LAPACK-style
-    # solves, then back.
-    Mb = jnp.moveaxis(M, -1, -3)
-    Bb = jnp.moveaxis(B, -1, -3)
-    out = jnp.linalg.solve(Mb, Bb)
-    return jnp.moveaxis(out, -3, -1)
 
 
 # ---------------------------------------------------------------------------
