@@ -51,7 +51,7 @@ def test_affine_vjp(rng, reverse, exclusive):
             )
             return jnp.sum(e * ct)
 
-        return jax.value_and_grad(f, argnums=(0, 1))(A, B)
+        return jax.jit(jax.value_and_grad(f, argnums=(0, 1)))(A, B)
 
     (v_par, g_par), (v_seq, g_seq) = run(True), run(False)
     assert_allclose(v_par, v_seq)
@@ -71,7 +71,7 @@ def test_congruence_vjp(rng, reverse):
             e = congruence_scan(A, B, reverse=reverse, parallel=parallel)
             return jnp.sum(e * ct)
 
-        return jax.value_and_grad(f, argnums=(0, 1))(A, B)
+        return jax.jit(jax.value_and_grad(f, argnums=(0, 1)))(A, B)
 
     (v_par, g_par), (v_seq, g_seq) = run(True), run(False)
     assert_allclose(v_par, v_seq)
@@ -112,7 +112,7 @@ def test_riccati_vjp(rng):
             F = riccati_scan(d, p, q, a, parallel=parallel)
             return jnp.sum(F * ct)
 
-        return jax.value_and_grad(f, argnums=(0, 1, 2, 3))(d, p, q, a)
+        return jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2, 3)))(d, p, q, a)
 
     (v_par, g_par), (v_seq, g_seq) = run(True), run(False)
     assert_allclose(v_par, v_seq)
@@ -134,7 +134,7 @@ def test_affine_vjp_second_order(rng):
             gA, gB = jax.grad(loss, argnums=(0, 1))(A, B)
             return jnp.sum(gA**2) + jnp.sum(gB**2)
 
-        return jax.grad(gnorm)(A, B)
+        return jax.jit(jax.grad(gnorm))(A, B)
 
     assert_allclose(f(True), f(False))  # grad w.r.t. A only (same shapes)
 
@@ -149,6 +149,6 @@ def test_riccati_vjp_under_vmap(rng):
             F = riccati_scan(s * d, p, s * q, a, parallel=parallel)
             return jnp.sum(F**2)
 
-        return jax.vmap(jax.grad(f))(scales)
+        return jax.jit(jax.vmap(jax.grad(f)))(scales)
 
     assert_allclose(run(True), run(False))
