@@ -22,4 +22,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# Default to x64 (the reference CI's primary mode); set TINYGP_TPU_X64=0 to
+# run the whole suite in float32, the TPU production mode. The dtype-aware
+# tolerances in tinygp_tpu.test_utils absorb the precision gap. A quick
+# always-on f32 sanity pass lives in tests/test_float32_mode.py.
+jax.config.update(
+    "jax_enable_x64",
+    os.environ.get("TINYGP_TPU_X64", "1").lower() not in ("0", "false"),
+)

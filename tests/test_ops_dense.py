@@ -1,47 +1,140 @@
-"""MXU-tiled dense ops: split matmul and blocked Cholesky."""
+"""MXU-tiled dense ops: three-term split GEMMs and blocked Cholesky.
+
+The split path claims f32-grade (~2^-24 operand) accuracy; these tests pin
+that against float64 oracles, including an ill-conditioned GP covariance
+of the kind that broke the round-1 two-term split.
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tinygp_tpu.ops.dense import blocked_cholesky, split_matmul
+from tinygp_tpu.ops.dense import (
+    blocked_cholesky,
+    cholesky_with_fallback,
+    split_matmul,
+    split_syrk,
+)
+
+
+def _f64_chol(K32):
+    return np.linalg.cholesky(np.asarray(K32, np.float64))
 
 
 def test_split_matmul_accuracy():
     rng = np.random.default_rng(0)
     X = jnp.asarray(rng.normal(size=(256, 128)), jnp.float32)
     Y = jnp.asarray(rng.normal(size=(128, 192)), jnp.float32)
-    exact = jnp.matmul(X, Y, precision="highest")
+    exact = np.asarray(X, np.float64) @ np.asarray(Y, np.float64)
     approx = split_matmul(X, Y)
-    rel = float(jnp.max(jnp.abs(approx - exact)) / jnp.max(jnp.abs(exact)))
-    assert rel < 5e-5  # x2 splitting: ~2^-16 operand error
+    rel = float(np.max(np.abs(approx - exact)) / np.max(np.abs(exact)))
+    assert rel < 1e-6  # three-term splitting: ~2^-24 operand error
 
 
 def test_split_matmul_transpose():
     rng = np.random.default_rng(1)
     X = jnp.asarray(rng.normal(size=(64, 128)), jnp.float32)
     Y = jnp.asarray(rng.normal(size=(96, 128)), jnp.float32)
-    exact = jnp.matmul(X, Y.T, precision="highest")
+    exact = np.asarray(X, np.float64) @ np.asarray(Y, np.float64).T
     approx = split_matmul(X, Y, transpose_y=True)
-    assert float(jnp.max(jnp.abs(approx - exact))) < 5e-3
+    rel = float(np.max(np.abs(approx - exact)) / np.max(np.abs(exact)))
+    assert rel < 1e-6
+
+
+def test_split_syrk_accuracy():
+    rng = np.random.default_rng(2)
+    L = jnp.asarray(rng.normal(size=(384, 256)), jnp.float32)
+    exact = np.asarray(L, np.float64) @ np.asarray(L, np.float64).T
+    approx = split_syrk(L)
+    rel = float(np.max(np.abs(approx - exact)) / np.max(np.abs(exact)))
+    assert rel < 1e-6
+    np.testing.assert_array_equal(np.asarray(approx), np.asarray(approx).T)
 
 
 def test_blocked_cholesky_well_conditioned():
-    # Includes the pad-to-block-multiple path (4608 + pad at block=1024).
-    rng = np.random.default_rng(2)
-    N = 4608
+    # Includes the pad-to-block-multiple path (1100 is not a 256 multiple).
+    rng = np.random.default_rng(3)
+    N = 1100
     A = jnp.asarray(rng.normal(size=(N, N)).astype(np.float32) / np.sqrt(N))
     K = jnp.matmul(A, A.T, precision="highest") + jnp.eye(N)
-    L = blocked_cholesky(K)
-    Lx = jnp.linalg.cholesky(K)
-    rel = float(jnp.max(jnp.abs(L - Lx)) / jnp.max(jnp.abs(Lx)))
-    assert rel < 1e-4
+    L = blocked_cholesky(K, block=256, min_size=0)
+    Lx = _f64_chol(K)
+    rel = float(np.max(np.abs(L - Lx)) / np.max(np.abs(Lx)))
+    assert rel < 1e-5
     # strictly lower triangular output
     assert float(jnp.max(jnp.abs(jnp.triu(L, 1)))) == 0.0
 
 
+def test_blocked_cholesky_ill_conditioned_gp_covariance():
+    # A squared-exponential Gram matrix with tiny jitter: cond(K) ~ 1e6.
+    # The round-1 two-term split went indefinite (NaN) here; the three-term
+    # split must stay finite and track the f64 factor.
+    x = np.linspace(0.0, 10.0, 1024)
+    K64 = np.exp(-0.5 * (x[:, None] - x[None, :]) ** 2)
+    K64 += 3e-4 * np.eye(x.size)
+    cond = np.linalg.cond(K64)
+    assert cond > 3e5
+    K = jnp.asarray(K64, jnp.float32)
+
+    L = blocked_cholesky(K, block=256, min_size=0)
+    assert bool(jnp.all(jnp.isfinite(L)))
+    logdet = 2.0 * float(jnp.sum(jnp.log(jnp.diag(L))))
+    logdet64 = 2.0 * float(np.sum(np.log(np.diag(np.linalg.cholesky(K64)))))
+    assert abs(logdet - logdet64) < 1e-2 * abs(logdet64) + 1e-2
+
+    # The factor reproduces K to ~f32 rounding * cond-driven growth.
+    resid = np.asarray(L, np.float64) @ np.asarray(L, np.float64).T - K64
+    assert np.max(np.abs(resid)) < 1e-4
+
+
+def test_cholesky_with_fallback_matches_blocked_when_pd():
+    rng = np.random.default_rng(4)
+    N = 512
+    A = jnp.asarray(rng.normal(size=(N, N)).astype(np.float32) / np.sqrt(N))
+    K = jnp.matmul(A, A.T, precision="highest") + jnp.eye(N)
+    L = cholesky_with_fallback(K, block=256, min_size=0)
+    Lb = blocked_cholesky(K, block=256, min_size=0)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(Lb), rtol=0, atol=0)
+
+
+def test_cholesky_with_fallback_rescues_borderline_matrix():
+    # An indefinite-at-f32 matrix: the blocked path NaNs, and the fallback
+    # must hand back exactly what the native kernel produces.
+    rng = np.random.default_rng(5)
+    N = 512
+    v = jnp.asarray(rng.normal(size=(N, 1)).astype(np.float32))
+    K = jnp.matmul(v, v.T, precision="highest") - 1e-3 * jnp.eye(N)
+    L = cholesky_with_fallback(K, block=256, min_size=0)
+    Lx = jnp.linalg.cholesky(K)
+    np.testing.assert_array_equal(np.asarray(L), np.asarray(Lx))
+
+
+def test_blocked_cholesky_custom_vjp_matches_native():
+    # The hand-written reverse rule must agree with XLA's own Cholesky
+    # gradient; the Pallas forward is not reverse-differentiable, so this
+    # is the only grad path for the blocked factorization.
+    rng = np.random.default_rng(8)
+    N = 512
+    A = rng.normal(size=(N, N)).astype(np.float32) / np.sqrt(N)
+    base = A @ A.T + np.eye(N, dtype=np.float32)
+
+    def loss(s, chol):
+        K = s * jnp.asarray(base)
+        L = chol(K)
+        return jnp.sum(jnp.log(jnp.diag(L))) + 1e-3 * jnp.sum(L)
+
+    g_blocked = jax.grad(loss)(
+        jnp.float32(1.3),
+        lambda K: blocked_cholesky(K, block=256, min_size=0),
+    )
+    g_native = jax.grad(loss)(jnp.float32(1.3), jnp.linalg.cholesky)
+    np.testing.assert_allclose(
+        float(g_blocked), float(g_native), rtol=5e-5
+    )
+
+
 def test_blocked_cholesky_small_fallback():
-    rng = np.random.default_rng(3)
+    rng = np.random.default_rng(6)
     N = 64
     A = jnp.asarray(rng.normal(size=(N, N)).astype(np.float32))
     K = jnp.matmul(A, A.T, precision="highest") + N * jnp.eye(N)

@@ -24,8 +24,10 @@ def mesh():
 
 @pytest.fixture
 def data():
+    # Small N: correctness only depends on the shard/combine topology, and
+    # the CPU compile of the sharded VJP dominates the suite's wall time.
     rng = np.random.default_rng(86)
-    N = 1024
+    N = 512
     X = jnp.asarray(np.sort(rng.uniform(0, 10, N)))
     y = jnp.asarray(rng.normal(size=N))
     return X, y
@@ -35,10 +37,10 @@ def data():
     "make_kernel",
     [
         lambda p: p["amp"] * quasisep.SHO(omega=p["scale"], quality=3.0),
-        lambda p: quasisep.Matern52(scale=p["scale"])
+        lambda p: quasisep.Matern32(scale=p["scale"])
         + quasisep.Cosine(scale=2.0) * p["amp"],
     ],
-    ids=["sho", "sum_product"],
+    ids=["sho", "sum_scale"],
 )
 def test_sharded_loglik_matches_single_device(mesh, data, make_kernel):
     X, y = data
@@ -84,4 +86,4 @@ def test_sharded_loglik_rejects_uneven(mesh, data):
     X, y = data
     kernel = quasisep.Matern32(scale=1.0)
     with pytest.raises(ValueError, match="divide evenly"):
-        sharded_loglik(kernel, X[:1001], y[:1001], diag=0.1, mesh=mesh)
+        sharded_loglik(kernel, X[:501], y[:501], diag=0.1, mesh=mesh)

@@ -50,5 +50,16 @@ def test_smc_posterior_and_evidence():
     var_sum = 16.0 + SD**2
     logZ = np.sum(-0.5 * (MU**2 / var_sum + np.log(var_sum / SD**2)))
     np.testing.assert_allclose(float(out.log_evidence), logZ, atol=0.15)
-    assert int(out.num_stages) < 50
-    assert float(out.betas) == 1.0
+    k = int(out.num_stages)
+    assert k < 50
+    # The recorded ladder: increasing, ends at 1.0, NaN-padded beyond.
+    betas = np.asarray(out.betas)
+    assert betas[k - 1] == 1.0
+    assert np.all(np.diff(betas[:k]) > 0) if k > 1 else True
+    assert np.all(np.isnan(betas[k:]))
+    accs = np.asarray(out.acceptance)
+    assert np.all((accs[:k] >= 0) & (accs[:k] <= 1))
+    # Equally weighted particles, properly normalized.
+    np.testing.assert_allclose(
+        np.asarray(out.log_weights), -np.log(2048.0), rtol=1e-6
+    )

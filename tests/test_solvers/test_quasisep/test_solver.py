@@ -35,10 +35,15 @@ def parallel(request):
 
 
 @pytest.mark.parametrize("pair", PAIRS, ids=["m32", "m52", "exp", "sum"])
-def test_cross_solver_consistency(pair, data, parallel):
+def test_cross_solver_consistency(pair, data):
+    # Runs in parallel-scan mode (the TPU default) only: the sequential
+    # twin of every scan is pinned against the parallel one in test_core /
+    # test_scan_vjp, and compiling the full conditioning graph on the
+    # sequential path is by far the slowest thing the suite does. One
+    # compact end-to-end sequential check lives below.
     qk, dk = pair
     X, y = data
-    gp_q = GaussianProcess(qk, X, diag=0.1, parallel=parallel)
+    gp_q = GaussianProcess(qk, X, diag=0.1, parallel=True)
     gp_d = GaussianProcess(dk, X, diag=0.1, solver=DirectSolver)
 
     assert isinstance(gp_q.solver, QuasisepSolver)
@@ -67,6 +72,23 @@ def test_cross_solver_consistency(pair, data, parallel):
     _, cd = gp_d.condition(y, X_test)
     assert_allclose(cq.loc, cd.loc, atol=1e-6)
     assert_allclose(cq.variance, cd.variance, atol=1e-6)
+
+
+def test_sequential_mode_end_to_end(data):
+    """The sequential-scan solver agrees with the parallel one through the
+    full user API (log-prob, sampling, conditioning) on one kernel."""
+    X, y = data
+    kq = quasisep.Matern32(scale=1.8, sigma=1.2)
+    gp_s = GaussianProcess(kq, X, diag=0.1, parallel=False)
+    gp_p = GaussianProcess(kq, X, diag=0.1, parallel=True)
+    assert_allclose(gp_s.log_probability(y), gp_p.log_probability(y))
+    key = jax.random.PRNGKey(11)
+    assert_allclose(gp_s.sample(key, (3,)), gp_p.sample(key, (3,)))
+    ls, cs = gp_s.condition(y)
+    lp, cp = gp_p.condition(y)
+    assert_allclose(ls, lp)
+    assert_allclose(cs.loc, cp.loc, atol=1e-6)
+    assert_allclose(cs.variance, cp.variance, atol=1e-6)
 
 
 def test_unsorted_raises_eagerly(data):

@@ -92,8 +92,8 @@ class GaussianProcess(Module):
             mean_value = jax.vmap(mean_function)(X)
         if jnp.ndim(mean_value) != 1:
             raise ValueError(
-                "Invalid mean shape: expected ndim = 1, got "
-                f"ndim={jnp.ndim(mean_value)}"
+                "the mean must evaluate to one scalar per data point; got "
+                f"a {jnp.ndim(mean_value)}-d array"
             )
 
         if noise is None:
@@ -111,6 +111,9 @@ class GaussianProcess(Module):
             # (e.g. sweeping kernels with assume_sorted=True set).
             solver_kwargs.pop("assume_sorted", None)
             solver_kwargs.pop("parallel", None)
+        elif solver is QuasisepSolver:
+            # ... and the dense-only switch is a no-op on the O(N) path.
+            solver_kwargs.pop("blocked", None)
 
         self._init(
             num_data=mean_value.shape[0],
@@ -143,7 +146,7 @@ class GaussianProcess(Module):
         Non-finite results (e.g. from an indefinite covariance) are mapped to
         ``-inf`` so samplers reject rather than propagate NaNs.
         """
-        return self._compute_log_prob(self._get_alpha(y))
+        return self._whiten(y)[1]
 
     def condition(
         self,
@@ -250,21 +253,54 @@ class GaussianProcess(Module):
         key: jax.Array,
         shape: tuple[int, ...] | None,
     ) -> JAXArray:
-        if shape is None:
-            full_shape: tuple[int, ...] = (self.num_data,)
-        else:
-            full_shape = (self.num_data,) + shape
-        eps = jax.random.normal(key, shape=full_shape, dtype=self.dtype)
+        # Color white noise through the factor: mu + L @ eps. The data axis
+        # leads into dot_triangular and is moved last on the way out, so
+        # arbitrary batch shapes ride along untouched.
+        eps = jax.random.normal(
+            key, (self.num_data, *(shape or ())), self.dtype
+        )
         return self.mean + jnp.moveaxis(self.solver.dot_triangular(eps), 0, -1)
 
     @jax.jit
-    def _compute_log_prob(self, alpha: JAXArray) -> JAXArray:
-        loglike = -0.5 * jnp.sum(jnp.square(alpha)) - self.solver.normalization()
-        return jnp.where(jnp.isfinite(loglike), loglike, -jnp.inf)
+    def _whiten(self, y: JAXArray) -> tuple[JAXArray, JAXArray]:
+        """Whitened residual ``L^{-1}(y - mu)`` and the marginal log-prob.
 
-    @jax.jit
-    def _get_alpha(self, y: JAXArray) -> JAXArray:
-        return self.solver.solve_triangular(y - self.loc)
+        The two always travel together: the log-prob is the squared norm of
+        the whitened residual plus the (cached) normalization constant,
+        guarded so that a failed factorization reads as ``-inf``.
+        """
+        white = self.solver.solve_triangular(y - self.loc)
+        lp = -0.5 * jnp.sum(jnp.square(white)) - self.solver.normalization()
+        return white, jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
+
+    def _posterior_mean(
+        self,
+        kinv_r: JAXArray,
+        y: JAXArray,
+        X_test: JAXArray | None,
+        include_mean: bool,
+        kernel: kernels.Kernel | None,
+    ) -> JAXArray:
+        """The predictive mean ``K(X*, X) K^{-1}(y - mu) [+ mu(X*)]``.
+
+        Three routes, cheapest first: at the training points with the
+        training kernel, ``K kinv_r`` telescopes to ``(y - mu) - noise @
+        kinv_r`` with no kernel evaluation at all; at the training points
+        with a substitute kernel (e.g. one mixture component), one O(N)
+        structured matmul; at fresh points, the rectangular cross matmul.
+        """
+        if X_test is None:
+            if kernel is None:
+                mu = y - (self.noise @ kinv_r)
+                return mu if include_mean else mu - self.loc
+            mu = kernel.matmul(self.X, y=kinv_r)
+            return mu + self.loc if include_mean else mu
+        mu = (self.kernel if kernel is None else kernel).matmul(
+            X_test, self.X, kinv_r
+        )
+        if include_mean:
+            mu = mu + jax.vmap(self.mean_function)(X_test)
+        return mu
 
     @partial(jax.jit, static_argnums=(3,))
     def _condition(
@@ -274,31 +310,11 @@ class GaussianProcess(Module):
         include_mean: bool,
         kernel: kernels.Kernel | None = None,
     ) -> tuple[JAXArray, JAXArray, JAXArray]:
-        alpha = self._get_alpha(y)
-        log_prob = self._compute_log_prob(alpha)
-
-        # Upgrade alpha from L^{-1}(y - mu) to K^{-1}(y - mu).
-        alpha = self.solver.solve_triangular(alpha, transpose=True)
-
-        if X_test is None:
-            X_test = self.X
-            if kernel is None:
-                # Same-points fast path: K alpha = (y - mu) - noise @ alpha.
-                mean_value = y - (self.noise @ alpha)
-                if not include_mean:
-                    mean_value = mean_value - self.loc
-            else:
-                mean_value = kernel.matmul(self.X, y=alpha)
-                if include_mean:
-                    mean_value = mean_value + self.loc
-        else:
-            if kernel is None:
-                kernel = self.kernel
-            mean_value = kernel.matmul(X_test, self.X, alpha)
-            if include_mean:
-                mean_value = mean_value + jax.vmap(self.mean_function)(X_test)
-
-        return alpha, log_prob, mean_value
+        white, log_prob = self._whiten(y)
+        # Second triangular solve: the whitened residual becomes K^{-1}(y - mu).
+        kinv_r = self.solver.solve_triangular(white, transpose=True)
+        mean = self._posterior_mean(kinv_r, y, X_test, include_mean, kernel)
+        return kinv_r, log_prob, mean
 
 
 class ConditionResult(NamedTuple):

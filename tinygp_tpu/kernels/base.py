@@ -94,45 +94,39 @@ class Kernel(Module):
 
     def __call__(self, X1: JAXArray, X2: JAXArray | None = None) -> JAXArray:
         if X2 is None:
-            k = self.diag(X1)
-            if k.ndim != 1:
-                raise ValueError(
-                    "Invalid kernel diagonal shape: expected ndim = 1, got "
-                    f"ndim={k.ndim}; check the dimensions of parameters and "
-                    "custom kernels"
-                )
-            return k
-        k = self.gram(X1, X2)
-        if k.ndim != 2:
-            raise ValueError(
-                "Invalid kernel shape: expected ndim = 2, got "
-                f"ndim={k.ndim}; check the dimensions of parameters and "
-                "custom kernels"
-            )
-        return k
+            return _checked_ndim(self.diag(X1), 1, "diagonal")
+        return _checked_ndim(self.gram(X1, X2), 2, "matrix")
 
     # -- composition algebra ------------------------------------------------
     def __add__(self, other: Kernel | JAXArray) -> Kernel:
-        if isinstance(other, Kernel):
-            return Sum(self, other)
-        return Sum(self, Constant(other))
+        return Sum(self, _as_kernel(other))
 
     def __radd__(self, other: Any) -> Kernel:
-        if other == 0:  # support builtin sum()
+        if other == 0:
+            # builtin sum() seeds its accumulator with the int 0.
             return self
-        if isinstance(other, Kernel):
-            return Sum(other, self)
-        return Sum(Constant(other), self)
+        return Sum(_as_kernel(other), self)
 
     def __mul__(self, other: Kernel | JAXArray) -> Kernel:
-        if isinstance(other, Kernel):
-            return Product(self, other)
-        return Product(self, Constant(other))
+        return Product(self, _as_kernel(other))
 
     def __rmul__(self, other: Any) -> Kernel:
-        if isinstance(other, Kernel):
-            return Product(other, self)
-        return Product(Constant(other), self)
+        return Product(_as_kernel(other), self)
+
+
+def _as_kernel(obj: Any) -> Kernel:
+    """Lift a scalar into a :class:`Constant`; pass kernels through."""
+    return obj if isinstance(obj, Kernel) else Constant(obj)
+
+
+def _checked_ndim(k: JAXArray, ndim: int, what: str) -> JAXArray:
+    if k.ndim != ndim:
+        raise ValueError(
+            f"kernel evaluation produced a {k.ndim}-d {what} where {ndim}-d "
+            "was expected — a parameter or a custom evaluate() is likely "
+            "carrying extra dimensions"
+        )
+    return k
 
 
 class Conditioned(Kernel):
@@ -203,7 +197,10 @@ class Constant(Kernel):
     def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
         del X1, X2
         if jnp.ndim(self.value) != 0:
-            raise ValueError("The value of a constant kernel must be a scalar")
+            raise ValueError(
+                "Constant kernels wrap a scalar; for array-valued amplitudes "
+                "compose with transforms or a custom kernel"
+            )
         return jnp.asarray(self.value)
 
 

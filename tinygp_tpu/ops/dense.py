@@ -5,61 +5,84 @@ The reference's dense path factorizes with ``jax.scipy.linalg.cholesky``
 its built-in blocked TPU Cholesky running trailing updates at the slow
 true-f32 MXU rate (~30 TF/s on v5e, measured; the MXU's native mode is
 bf16-multiply/f32-accumulate at ~175 TF/s). This module implements a
-right-looking blocked Cholesky whose O(N^3) work — the SYRK trailing
-updates and the panel triangular solves — runs as **split bf16x3 GEMMs**:
-each f32 operand is decomposed as ``x = hi + lo`` with ``hi = bf16(x)``,
-``lo = bf16(x - hi)``, and products expand to
+right-looking blocked Cholesky whose O(N^3) bulk — the SYRK trailing
+updates — runs as **three-term split bf16 GEMMs** on the fast MXU path.
 
-    X Y^T ~= Xh Yh^T + Xh Yl^T + Xl Yh^T        (error ~ 2^-16 relative)
+Each f32 operand is decomposed into three bf16 pieces
 
-on the MXU's fast path with f32 accumulation. For the symmetric SYRK
-update the two cross terms are transposes of each other, so it needs only
-TWO GEMMs: ``Lh Lh^T + (S + S^T)`` with ``S = Lh Ll^T``. This recovers
-near-f32 accuracy (~1e-6 relative, vs bf16's ~4e-3) at ~2/3 of the bf16
-rate — the standard precision-splitting scheme for TPU linear algebra.
+    x = h + m + l,   h = bf16(x),  m = bf16(x - h),  l = bf16(x - h - m)
 
-Diagonal B×B blocks use the native Cholesky (negligible: nb·B^3/3 flops),
-and panels apply ``inv(L11)^T`` with another split GEMM so everything hot
-stays on the MXU. Matrices are padded to a block multiple by embedding in
-``blockdiag(K, I)``, whose factor is ``blockdiag(L, I)``.
+with |m| <~ 2^-8 |x| and |l| <~ 2^-16 |x| (bf16 keeps 8 significand
+bits). Products expand as
 
-**Status — not the DirectSolver default.** Measured on v5e at N=1e4: this
-runs ~12 ms vs XLA's native 22 ms, BUT the x2 split's ~1.5e-5 operand
-error makes trailing Schur complements indefinite (NaN) at the condition
-numbers real GP covariances reach; the x3 splitting that would fix it
-costs the same ~30 TF/s as XLA's accurate path. Use ``blocked_cholesky``
-only for well-conditioned matrices (cond ≲ 1e3); ``split_matmul`` is safe
-wherever ~1e-5 relative error is acceptable (e.g. wide predictive
-cross-covariance products). See ``solvers/direct.py`` for the full
-measurement story.
+    x y = h h' + (h m' + m h') + (h l' + l h' + m m') + O(2^-24)
+
+so the dropped terms sit at ~6e-8 relative — the same order as native f32
+rounding. For the *symmetric* rank-B update ``L L^T`` the two cross terms
+at each order are mutual transposes, so the whole update needs only FOUR
+GEMMs (hh, hm, hl, mm), i.e. ~1/4 of the ~175 TF/s bf16 rate vs the ~1/6
+that a general f32-emulated product costs. This is the decisive win over
+the round-1 two-term split, whose ~1.5e-5 operand error pushed trailing
+Schur complements indefinite at realistic GP condition numbers: at 2^-24
+the split factorization breaks down only where native f32 breaks down too.
+
+The serial panel work per block column (a B x B diagonal Cholesky and the
+triangular panel solve, together O(N^2 B) flops) stays in accurate f32
+("highest" MXU precision) — its error feeds straight into every later
+Schur complement, and at B << N it is a small slice of the total flops.
+
+Robustness measures:
+
+- the matrix is symmetrically pre-scaled to unit diagonal before
+  factoring (``D^-1/2 K D^-1/2``), which removes dynamic-range-driven
+  cancellation; the factor is rescaled on the way out;
+- callers can detect breakdown from NaNs on the factor diagonal;
+  :func:`cholesky_with_fallback` packages the lax.cond re-factorization
+  with XLA's native (slow, f32-accurate) kernel for that event.
+
+Matrices are padded to a block multiple by embedding in
+``blockdiag(K, I)``, whose factor is ``blockdiag(chol(K), I)``.
 """
 
 from __future__ import annotations
 
-__all__ = ["blocked_cholesky", "split_matmul"]
+__all__ = [
+    "blocked_cholesky",
+    "cholesky_with_fallback",
+    "split_matmul",
+    "split_syrk",
+]
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.ops import pallas_dense
 
-# Panel width: wide enough that the trailing GEMMs dominate, small enough
-# that the serial diag-block/panel chain stays short. 1024 measured best on
-# v5e at N ~ 1e4.
-_BLOCK = 1024
+# Panel width. The trailing SYRK fraction of the flops is ~(1 - 3B/2N), so
+# small B keeps the fast path dominant, while per-column fixed costs (the
+# diagonal Cholesky + panel TRSM) push the other way. 512 measured best on
+# v5e for N ~ 1e4.
+_BLOCK = 512
 # Below this size XLA's native Cholesky wins (fixed per-panel overheads).
 _MIN_BLOCKED = 4096
 
 
-def _split(x: JAXArray) -> tuple[JAXArray, JAXArray]:
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+def _split3(x: JAXArray) -> tuple[JAXArray, JAXArray, JAXArray]:
+    """Three-term bf16 decomposition of an f32 array, x ~ h + m + l."""
+    h = x.astype(jnp.bfloat16)
+    r = x - h.astype(jnp.float32)
+    m = r.astype(jnp.bfloat16)
+    l = (r - m.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h, m, l
 
 
 def _mm(a: JAXArray, b: JAXArray, transpose_b: bool) -> JAXArray:
     dims = ((1,), (1,)) if transpose_b else ((1,), (0,))
-    return jax.lax.dot_general(
+    return lax.dot_general(
         a, b, (dims, ((), ())), preferred_element_type=jnp.float32
     )
 
@@ -67,40 +90,103 @@ def _mm(a: JAXArray, b: JAXArray, transpose_b: bool) -> JAXArray:
 def split_matmul(
     X: JAXArray, Y: JAXArray, *, transpose_y: bool = False
 ) -> JAXArray:
-    """``X @ Y`` (or ``X @ Y.T``) via bf16x3 splitting on the MXU.
+    """``X @ Y`` (or ``X @ Y.T``) via three-term bf16 splitting on the MXU.
 
-    ~1e-6 relative error at ~3x the true-f32 MXU rate. Only defined for
-    float32 operands; other dtypes fall through to a plain dot.
+    Six fast-path GEMMs; ~6e-8 relative operand error (f32-grade). Only
+    defined for float32 operands; other dtypes fall through to a plain dot.
     """
     if X.dtype != jnp.float32 or Y.dtype != jnp.float32:
         return _mm(X, Y, transpose_y)
-    Xh, Xl = _split(X)
-    Yh, Yl = _split(Y)
-    return _mm(Xh, Yh, transpose_y) + (
-        _mm(Xh, Yl, transpose_y) + _mm(Xl, Yh, transpose_y)
+    Xh, Xm, Xl = _split3(X)
+    Yh, Ym, Yl = _split3(Y)
+    return (
+        _mm(Xh, Yh, transpose_y)
+        + (_mm(Xh, Ym, transpose_y) + _mm(Xm, Yh, transpose_y))
+        + (
+            _mm(Xh, Yl, transpose_y)
+            + _mm(Xl, Yh, transpose_y)
+            + _mm(Xm, Ym, transpose_y)
+        )
     )
 
 
-def _split_syrk(L: JAXArray) -> JAXArray:
-    """``L @ L.T`` with the 2-GEMM split: the cross terms are mutual
-    transposes."""
+def split_syrk(L: JAXArray) -> JAXArray:
+    """``L @ L.T`` with the 4-GEMM three-term split.
+
+    Cross terms of matching order are mutual transposes, so the expansion
+    h h' + (h m' + .T) + (h l' + .T + m m') needs four MXU passes for
+    f32-grade (~6e-8) accuracy — vs six for a general product.
+    """
     if L.dtype != jnp.float32:
         return _mm(L, L, True)
-    hi, lo = _split(L)
-    S = _mm(hi, lo, True)
-    return _mm(hi, hi, True) + (S + jnp.swapaxes(S, -1, -2))
+    h, m, l = _split3(L)
+    S1 = _mm(h, m, True)
+    S2 = _mm(h, l, True)
+    out = _mm(h, h, True) + (S1 + jnp.swapaxes(S1, -1, -2))
+    return out + (S2 + jnp.swapaxes(S2, -1, -2) + _mm(m, m, True))
 
 
-def blocked_cholesky(K: JAXArray, *, block: int = _BLOCK) -> JAXArray:
+def _scaled(K: JAXArray) -> tuple[JAXArray, JAXArray]:
+    d = jnp.diagonal(K)
+    s = jnp.where(d > 0, lax.rsqrt(jnp.maximum(d, jnp.finfo(K.dtype).tiny)), 1.0)
+    return K * s[:, None] * s[None, :], s
+
+
+def blocked_cholesky(
+    K: JAXArray, *, block: int = _BLOCK, min_size: int = _MIN_BLOCKED
+) -> JAXArray:
     """Lower Cholesky factor of an SPD matrix, MXU-tiled.
 
-    Equivalent to ``jnp.linalg.cholesky(K)`` up to the split-GEMM rounding
-    (~1e-6 relative on the factor). Falls back to the native kernel for
-    small matrices where panel overheads dominate.
+    Equivalent to ``jnp.linalg.cholesky(K)`` up to f32-grade rounding in
+    the split trailing updates. Falls back to the native kernel for small
+    matrices (below ``min_size``) where panel overheads dominate. On
+    breakdown (matrix not numerically PD at ~f32 precision) the factor
+    contains NaNs, exactly like the native kernel; see
+    :func:`cholesky_with_fallback`.
     """
     n = K.shape[0]
-    if n < _MIN_BLOCKED or K.dtype != jnp.float32:
+    if n < max(min_size, block) or K.dtype != jnp.float32:
         return jnp.linalg.cholesky(K)
+    return _blocked_chol(K, block)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _blocked_chol(K: JAXArray, block: int) -> JAXArray:
+    with jax.default_matmul_precision("highest"):
+        return _blocked_cholesky_impl(K, block)
+
+
+def _blocked_chol_fwd(K, block):
+    L = _blocked_chol(K, block)
+    return L, L
+
+
+def _blocked_chol_bwd(block, L, Lbar):
+    # The standard Cholesky reverse rule (bit-matched against JAX's native
+    # VJP in tests): with X = L^T Lbar and P = tril(X) - diag(X)/2,
+    # Kbar = sym(L^{-T} P L^{-1}). The factorization internals (Pallas
+    # kernels included) never appear on the AD tape — only two native
+    # triangular solves and one pinned GEMM.
+    with jax.default_matmul_precision("highest"):
+        X = jnp.matmul(L.T, Lbar)
+        P = jnp.tril(X) - 0.5 * jnp.diag(jnp.diagonal(X))
+        S = jax.scipy.linalg.solve_triangular(L, P, lower=True, trans=1)
+        S = jax.scipy.linalg.solve_triangular(L, S.T, lower=True, trans=1).T
+        return (0.5 * (S + S.T),)
+
+
+_blocked_chol.defvjp(_blocked_chol_fwd, _blocked_chol_bwd)
+
+
+def _blocked_cholesky_impl(K: JAXArray, block: int) -> JAXArray:
+    # The highest-precision context matters on TPU: the *internal* matmuls
+    # of the diagonal-tile Cholesky and the triangular solve otherwise run
+    # with bf16-demoted operands (the backend default), which is enough
+    # error in the panels to push later Schur complements indefinite. The
+    # explicitly-split GEMMs are unaffected (their operands are already
+    # bf16 with pinned f32 accumulation).
+    n = K.shape[0]
+    K, s = _scaled(K)
 
     pad = (-n) % block
     if pad:
@@ -108,15 +194,14 @@ def blocked_cholesky(K: JAXArray, *, block: int = _BLOCK) -> JAXArray:
         K = jnp.block(
             [
                 [K, jnp.zeros((n, pad), K.dtype)],
-                [
-                    jnp.zeros((pad, n), K.dtype),
-                    jnp.eye(pad, dtype=K.dtype),
-                ],
+                [jnp.zeros((pad, n), K.dtype), jnp.eye(pad, dtype=K.dtype)],
             ]
         )
     m = K.shape[0]
     nb = m // block
     eye = jnp.eye(block, dtype=K.dtype)
+    # The fused Pallas kernels tile at 256 when the panel width allows.
+    tile = 256 if block % 256 == 0 else block
 
     T = K
     cols = []
@@ -124,17 +209,40 @@ def blocked_cholesky(K: JAXArray, *, block: int = _BLOCK) -> JAXArray:
         A11 = T[:block, :block]
         A21 = T[block:, :block]
         L11 = jnp.linalg.cholesky(A11)
-        # Panel: L21 = A21 inv(L11)^T, as a GEMM against the explicit
-        # triangular inverse (B^3/2 extra flops, all MXU).
+        # Panel: L21 = A21 inv(L11)^T as a fused split GEMM against the
+        # explicit triangular inverse (the B^3/2 extra flops are noise).
+        # Panel accuracy feeds every later Schur complement, so this needs
+        # the full three-term split, not bare bf16.
         L11invT = jax.scipy.linalg.solve_triangular(L11, eye, lower=True).T
-        L21 = split_matmul(A21, L11invT)
-        cols.append(jnp.concatenate([L11, L21], axis=0))
         if T.shape[0] > block:
-            T = T[block:, block:] - _split_syrk(L21)
+            L21 = pallas_dense.split_panel_matmul(A21, L11invT, tile=tile)
+            T = pallas_dense.syrk_sub(T[block:, block:], L21, tile=tile)
+            cols.append(jnp.concatenate([L11, L21], axis=0))
+        else:
+            cols.append(L11)
 
     rows = []
     for k, col in enumerate(cols):
         zpad = jnp.zeros((m - col.shape[0], block), K.dtype)
         rows.append(jnp.concatenate([zpad, col], axis=0))
-    L = jnp.concatenate(rows, axis=1)
-    return L[:n, :n]
+    L = jnp.concatenate(rows, axis=1)[:n, :n]
+    return L * (1.0 / s)[:, None]
+
+
+def cholesky_with_fallback(
+    K: JAXArray, *, block: int = _BLOCK, min_size: int = _MIN_BLOCKED
+) -> JAXArray:
+    """Blocked split-precision Cholesky, re-factoring natively on breakdown.
+
+    The split path's operand error sits at ~2^-24, so it only NaNs where
+    the matrix is borderline-indefinite at f32 anyway — but the native
+    kernel's error constant is a little smaller, so on NaN we pay one
+    accurate re-factorization rather than surface spurious failure. The
+    guard costs one reduction over the diagonal.
+    """
+    n = K.shape[0]
+    if n < max(min_size, block) or K.dtype != jnp.float32:
+        return jnp.linalg.cholesky(K)
+    L = blocked_cholesky(K, block=block, min_size=min_size)
+    bad = jnp.any(jnp.isnan(jnp.diagonal(L)))
+    return lax.cond(bad, jnp.linalg.cholesky, lambda _: L, K)

@@ -33,11 +33,10 @@ from tinygp_tpu.helpers import JAXArray
 from tinygp_tpu.parallel.mesh import chain_axis, local_chunk
 from tinygp_tpu.samplers.hmc import (
     HMCState,
-    _da_init,
-    _da_update,
     _ravel_spec,
     hmc,
     nuts,
+    window_adaptation,
 )
 from tinygp_tpu.samplers.smc import _next_beta, _systematic_resample
 
@@ -92,71 +91,29 @@ def run_mcmc_sharded(
     spec_chain = P(axis)
     z_chains = jax.device_put(z_chains, NamedSharding(mesh, spec_chain))
 
-    lo = int(0.1 * num_warmup)
-    hi = int(0.8 * num_warmup)
+    # The same staged (expanding-window) adaptation as the single-device
+    # path, with the chain-axis reductions extended across devices.
+    adapt = window_adaptation(
+        step_fn,
+        num_warmup=num_warmup,
+        target_accept=target_accept,
+        initial_step_size=initial_step_size,
+        axis=axis,
+    )
 
     def device_program(z_local, keys_local):
         """Everything one device does: warmup + sampling on its chains."""
         states = jax.vmap(init_fn)(z_local)
 
-        # ---- warmup with cross-device pmean on adaptation stats ----
-        da = _da_init(jnp.asarray(initial_step_size))
-        inv_mass = jnp.ones(dim)
-        wmean = jnp.zeros(dim)
-        wm2 = jnp.zeros(dim)
-        wn = jnp.zeros(())
-
-        def warm_body(carry, step):
-            states, da, inv_mass, wmean, wm2, wn = carry
-            step_size = jnp.exp(da.log_step)
-            keys = jax.vmap(lambda k: jax.random.fold_in(k, step))(keys_local)
-            states, infos = jax.vmap(
-                lambda k, s: step_fn(k, s, step_size, inv_mass)
-            )(keys, states)
-            accept = jax.lax.pmean(
-                jnp.mean(infos.accept_prob), axis_name=axis
+        all_keys = jax.vmap(
+            lambda i: jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                keys_local, i
             )
-            da = _da_update(da, accept, target=target_accept)
-
-            in_window = (step >= lo) & (step < hi)
-            n = wn + 1.0
-            local_mean = jax.lax.pmean(
-                jnp.mean(states.z, axis=0), axis_name=axis
-            )
-            delta = local_mean - wmean
-            wmean_new = wmean + delta / n
-            # Cross-device second moment accumulated on the (pmean'd) means
-            # of the per-step cloud: a simple, stable shared estimate.
-            m2_inc = jax.lax.pmean(
-                jnp.mean(
-                    (states.z - wmean[None, :])
-                    * (states.z - wmean_new[None, :]),
-                    axis=0,
-                ),
-                axis_name=axis,
-            )
-            wm2_new = wm2 + m2_inc
-            wmean = jnp.where(in_window, wmean_new, wmean)
-            wm2 = jnp.where(in_window, wm2_new, wm2)
-            wn = jnp.where(in_window, n, wn)
-
-            at_switch = step == hi
-            var = wm2 / jnp.maximum(wn, 1.0)
-            var = jnp.where(jnp.isfinite(var) & (var > 0), var, 1.0)
-            inv_mass = jnp.where(at_switch, var, inv_mass)
-            da = jax.tree_util.tree_map(
-                lambda reset, keep: jnp.where(at_switch, reset, keep),
-                _da_init(jnp.exp(da.log_step)),
-                da,
-            )
-            return (states, da, inv_mass, wmean, wm2, wn), None
-
-        (states, da, inv_mass, *_), _ = jax.lax.scan(
-            warm_body,
-            (states, da, inv_mass, wmean, wm2, wn),
-            jnp.arange(num_warmup),
+        )(jnp.arange(num_warmup))
+        carry, _ = jax.lax.scan(
+            adapt.body, adapt.init(states), (jnp.arange(num_warmup), all_keys)
         )
-        step_size = jnp.exp(da.log_step_avg)
+        states, step_size, inv_mass, _warm_info = adapt.finish(carry)
 
         # ---- sampling ----
         def sample_body(states, step):
@@ -268,7 +225,7 @@ def run_smc_sharded(
             return zs, acc / num_mutations
 
         def stage(carry):
-            key, zs, beta, log_Z, k, acc = carry
+            key, zs, beta, log_Z, k, betas, accs = carry
             key, key_res, key_mut = jax.random.split(key, 3)
 
             log_like = jax.vmap(flat_like)(zs)
@@ -297,13 +254,15 @@ def run_smc_sharded(
             zs = gathered_zs[mine]
 
             zs, acc = mutate(key_mut, zs, new_beta)
-            return key, zs, new_beta, log_Z, k + 1, acc
+            betas = betas.at[k].set(new_beta)
+            accs = accs.at[k].set(acc)
+            return key, zs, new_beta, log_Z, k + 1, betas, accs
 
         def cond(carry):
-            _, _, beta, _, k, _ = carry
+            _, _, beta, _, k, _, _ = carry
             return (beta < 1.0) & (k < max_stages)
 
-        _, zs, beta, log_Z, k, acc = jax.lax.while_loop(
+        _, zs, _beta, log_Z, k, betas, accs = jax.lax.while_loop(
             cond,
             stage,
             (
@@ -312,10 +271,11 @@ def run_smc_sharded(
                 jnp.asarray(0.0, zs_local.dtype),
                 jnp.asarray(0.0, zs_local.dtype),
                 jnp.asarray(0, jnp.int32),
-                jnp.asarray(1.0, zs_local.dtype),
+                jnp.full(max_stages, jnp.nan, zs_local.dtype),
+                jnp.full(max_stages, jnp.nan, zs_local.dtype),
             ),
         )
-        return zs, log_Z, beta, k, acc
+        return zs, log_Z, k, betas, accs
 
     sharded = shard_map(
         device_program,
@@ -324,11 +284,11 @@ def run_smc_sharded(
         out_specs=(P(axis), P(), P(), P(), P()),
         check_rep=False,
     )
-    zs, log_Z, beta, k, acc = jax.jit(sharded)(key, zs0)
+    zs, log_Z, k, betas, accs = jax.jit(sharded)(key, zs0)
     return {
         "particles": jax.vmap(unravel)(zs),
         "log_evidence": log_Z,
-        "beta": beta,
+        "betas": betas,
         "num_stages": k,
-        "acceptance": acc,
+        "acceptance": accs,
     }

@@ -17,6 +17,7 @@ __all__ = [
     "run_smc",
     "HMCState",
     "HMCInfo",
+    "WarmupInfo",
     "ADVIResult",
     "SMCResult",
 ]
@@ -24,6 +25,7 @@ __all__ = [
 from tinygp_tpu.samplers.hmc import (
     HMCInfo,
     HMCState,
+    WarmupInfo,
     hmc,
     nuts,
     run_mcmc,

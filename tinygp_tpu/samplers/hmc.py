@@ -22,7 +22,7 @@ TPU-first design:
 
 from __future__ import annotations
 
-__all__ = ["hmc", "nuts", "window_adaptation", "run_mcmc"]
+__all__ = ["hmc", "nuts", "window_adaptation", "run_mcmc", "WarmupInfo"]
 
 import os
 from collections.abc import Callable
@@ -455,7 +455,6 @@ def nuts(
 
         _, tree = jax.lax.while_loop(cond, body, (key_tree, tree))
 
-        _, grad_check = value_and_grad(tree.z_proposal)
         new_state = HMCState(
             z=tree.z_proposal,
             log_prob=tree.lp_proposal,
@@ -466,7 +465,9 @@ def nuts(
         )
         info = HMCInfo(
             accept_prob=accept_prob,
-            accepted=accept_prob > 0.5,
+            # Multinomial NUTS has no single Metropolis accept; "accepted"
+            # reports whether the transition moved off the initial point.
+            accepted=jnp.any(tree.z_proposal != state.z),
             energy=-tree.lp_proposal,
             num_steps=tree.num_steps,
             diverging=tree.diverging,
@@ -515,22 +516,88 @@ def _da_update(state: DualAveragingState, accept_prob, target=0.8):
     )
 
 
+class WarmupInfo(NamedTuple):
+    """Warmup diagnostics returned by :func:`window_adaptation`."""
+
+    divergences_per_window: JAXArray
+    """Divergent-transition counts, one entry per adaptation window
+    (initial fast buffer, each expanding slow window, final fast buffer)."""
+
+    final_accept: JAXArray
+    """Cross-chain mean accept-stat over the final fast buffer — should
+    land near ``target_accept`` when adaptation succeeded."""
+
+
+def _warmup_schedule(num_warmup: int) -> tuple[int, list[int], int]:
+    """Expanding ("slow") mass-window schedule over the warmup.
+
+    The layout is the standard staged scheme: an initial fast buffer that
+    adapts only the step size while chains find the typical set, a series
+    of doubling covariance-estimation windows (25, 50, 100, ... steps), and
+    a terminal fast buffer that re-equilibrates the step size against the
+    final mass matrix. Returns ``(init_buffer, switch_steps, term_buffer)``
+    where ``switch_steps`` are the step indices *after which* the mass
+    matrix updates.
+    """
+    init_buffer, term_buffer, base = 75, 50, 25
+    if init_buffer + base + term_buffer > num_warmup:
+        # Short warmup: shrink the buffers proportionally, keep >= 1 window.
+        init_buffer = max(1, int(0.15 * num_warmup))
+        term_buffer = max(1, int(0.1 * num_warmup))
+        base = num_warmup - init_buffer - term_buffer
+        if base < 1:
+            return num_warmup, [], 0
+    switch_steps = []
+    start, size = init_buffer, base
+    while True:
+        # Absorb the remainder into the last window when doubling again
+        # would overrun the terminal buffer.
+        if start + 3 * size > num_warmup - term_buffer:
+            size = num_warmup - term_buffer - start
+        switch_steps.append(start + size - 1)
+        start += size
+        if start >= num_warmup - term_buffer:
+            break
+        size *= 2
+    return init_buffer, switch_steps, term_buffer
+
+
 def window_adaptation(
     step_fn,
     *,
     num_warmup: int,
     target_accept: float = 0.8,
     initial_step_size: float = 0.1,
+    axis: str | None = None,
 ):
-    """Warmup loop: dual-averaged step size + diagonal mass (Welford).
+    """Warmup: dual-averaged step size + staged diagonal mass adaptation.
 
-    Shared across chains: the accept statistic is averaged over the chain
-    axis (a ``psum``-style reduction when sharded), so all chains adapt one
-    step size and one mass matrix — the standard cross-chain scheme.
+    Mass estimation runs over expanding (doubling) windows; at each window
+    boundary the regularized Welford variance becomes the new inverse mass,
+    the estimator resets, and step-size adaptation re-anchors at the
+    current step size — so early, badly-conditioned exploration never
+    contaminates the final metric.
 
-    Returns ``run(keys, states) -> (states, step_size, inv_mass)``, where
-    ``keys``/``states`` carry a leading chain axis.
+    Shared across chains: the accept statistic and the position moments are
+    averaged over the chain axis, so all chains adapt one step size and one
+    mass matrix. When ``axis`` names a mesh axis (the body is running under
+    ``shard_map`` with chains sharded over it), the reductions extend
+    across devices with ``pmean``/``psum``.
+
+    Returns ``run(keys, states) -> (states, step_size, inv_mass, info)``,
+    where ``keys``/``states`` carry a leading chain axis and ``info`` is a
+    :class:`WarmupInfo`.
     """
+    init_buffer, switch_steps, term_buffer = _warmup_schedule(num_warmup)
+    num_windows = len(switch_steps) + 2
+
+    def chain_mean(x, reduce_axis=None):
+        m = jnp.mean(x, axis=reduce_axis)
+        return jax.lax.pmean(m, axis) if axis is not None else m
+
+    def chain_sum(x):
+        s = jnp.sum(x)
+        return jax.lax.psum(s, axis) if axis is not None else s
 
     def init(states: HMCState):
         dim = states.z.shape[-1]
@@ -541,56 +608,70 @@ def window_adaptation(
             jnp.zeros(dim),
             jnp.zeros(dim),
             jnp.zeros(()),
+            jnp.zeros(num_windows),  # divergence count per window
+            jnp.zeros(2),  # (sum accept, count) over the terminal buffer
         )
 
     def finish(carry):
-        states, da, inv_mass, *_ = carry
-        return states, jnp.exp(da.log_step_avg), inv_mass
+        states, da, inv_mass, _m, _m2, _n, div, acc = carry
+        info = WarmupInfo(
+            divergences_per_window=div,
+            final_accept=acc[0] / jnp.maximum(acc[1], 1.0),
+        )
+        return states, jnp.exp(da.log_step_avg), inv_mass, info
 
-    def make_body():
-        # Mass-adaptation window: middle portion of warmup.
-        lo = int(0.1 * num_warmup)
-        hi = int(0.8 * num_warmup)
+    switch_arr = jnp.asarray(switch_steps, jnp.int32).reshape(-1)
+    # Window id of a step: 0 = init buffer, 1..k = slow windows, k+1 = term.
+    starts = jnp.asarray(
+        [init_buffer] + [s + 1 for s in switch_steps], jnp.int32
+    ).reshape(-1)
 
-        def body(carry, inputs):
-            states, da, inv_mass, wmean, wm2, wn = carry
-            step, keys = inputs
-            step_size = jnp.exp(da.log_step)
-            states, infos = jax.vmap(
-                lambda k, s: step_fn(k, s, step_size, inv_mass)
-            )(keys, states)
-            # Cross-chain mean accept stat (psum over the chain axis when
-            # sharded via shard_map).
-            accept = jnp.mean(infos.accept_prob)
-            da = _da_update(da, accept, target=target_accept)
+    def body(carry, inputs):
+        states, da, inv_mass, wmean, wm2, wn, div, acc = carry
+        step, keys = inputs
+        step_size = jnp.exp(da.log_step)
+        states, infos = jax.vmap(
+            lambda k, s: step_fn(k, s, step_size, inv_mass)
+        )(keys, states)
+        # Cross-chain (and, under shard_map, cross-device) mean accept stat.
+        accept = chain_mean(infos.accept_prob)
+        da = _da_update(da, accept, target=target_accept)
 
-            in_window = (step >= lo) & (step < hi)
-            n = wn + 1.0
-            delta = states.z - wmean[None, :]
-            wmean_new = wmean + jnp.mean(delta, axis=0) / n
-            wm2_new = wm2 + jnp.mean(
-                delta * (states.z - wmean_new[None, :]), axis=0
-            )
-            wmean = jnp.where(in_window, wmean_new, wmean)
-            wm2 = jnp.where(in_window, wm2_new, wm2)
-            wn = jnp.where(in_window, n, wn)
+        widx = jnp.sum(step >= starts)
+        div = div.at[widx].add(chain_sum(infos.diverging))
+        in_term = step >= num_warmup - term_buffer
+        acc = jnp.where(in_term, acc + jnp.stack([accept, jnp.ones_like(accept)]), acc)
 
-            # At the end of the window, switch in the new mass matrix and
-            # reset step-size adaptation around the current value.
-            at_switch = step == hi
-            var = wm2 / jnp.maximum(wn, 1.0)
-            var = jnp.where(jnp.isfinite(var) & (var > 0), var, 1.0)
-            inv_mass = jnp.where(at_switch, var, inv_mass)
-            da = jax.tree_util.tree_map(
-                lambda reset, keep: jnp.where(at_switch, reset, keep),
-                _da_init(jnp.exp(da.log_step)),
-                da,
-            )
-            return (states, da, inv_mass, wmean, wm2, wn), None
+        in_slow = (step >= init_buffer) & (step < num_warmup - term_buffer)
+        n = wn + 1.0
+        delta = states.z - wmean[None, :]
+        wmean_new = wmean + chain_mean(delta, reduce_axis=0) / n
+        wm2_new = wm2 + chain_mean(
+            delta * (states.z - wmean_new[None, :]), reduce_axis=0
+        )
+        wmean = jnp.where(in_slow, wmean_new, wmean)
+        wm2 = jnp.where(in_slow, wm2_new, wm2)
+        wn = jnp.where(in_slow, n, wn)
 
-        return body
-
-    body = make_body()
+        # Window boundary: switch in the regularized variance estimate,
+        # restart the estimator, re-anchor step-size adaptation.
+        at_switch = jnp.any(step == switch_arr)
+        var = wm2 / jnp.maximum(wn, 1.0)
+        # Shrink toward unit scale at low sample counts (the usual
+        # n/(n+5) regularization) so tiny windows can't produce a wild
+        # metric.
+        var = (wn / (wn + 5.0)) * var + 1e-3 * (5.0 / (wn + 5.0))
+        var = jnp.where(jnp.isfinite(var) & (var > 0), var, 1.0)
+        inv_mass = jnp.where(at_switch, var, inv_mass)
+        wmean = jnp.where(at_switch, jnp.zeros_like(wmean), wmean)
+        wm2 = jnp.where(at_switch, jnp.zeros_like(wm2), wm2)
+        wn = jnp.where(at_switch, jnp.zeros_like(wn), wn)
+        da = jax.tree_util.tree_map(
+            lambda reset, keep: jnp.where(at_switch, reset, keep),
+            _da_init(jnp.exp(da.log_step)),
+            da,
+        )
+        return (states, da, inv_mass, wmean, wm2, wn, div, acc), None
 
     def run(keys, states: HMCState):
         all_keys = jax.vmap(
@@ -692,7 +773,7 @@ def run_mcmc(
         return (states, step_size, inv_mass), (states.z, infos)
 
     if steps_per_dispatch is None:
-        states, step_size, inv_mass = adapt(warm_keys, states)
+        states, step_size, inv_mass, _warm_info = adapt(warm_keys, states)
         _, (zs, infos) = jax.lax.scan(
             sample_body,
             (states, step_size, inv_mass),
@@ -773,7 +854,9 @@ def run_mcmc(
         maybe_checkpoint()
 
     if int(run_state["phase"]) == 0:
-        states, step_size, inv_mass = adapt.finish(run_state["warm"])
+        states, step_size, inv_mass, _warm_info = adapt.finish(
+            run_state["warm"]
+        )
         run_state.update(
             phase=np.ones((), np.int32),
             step=np.zeros((), np.int32),

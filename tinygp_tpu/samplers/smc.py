@@ -30,10 +30,16 @@ from tinygp_tpu.samplers.hmc import _ravel_spec
 
 class SMCResult(NamedTuple):
     particles: Any
+    """Posterior particles; equally weighted (the final stage resamples)."""
     log_weights: JAXArray
+    """Normalized log-weights of ``particles`` — uniform ``-log(n)``."""
     log_evidence: JAXArray
+    """Log marginal likelihood estimate from the tempering identity."""
     betas: JAXArray
+    """The adaptive temperature ladder, shape ``(max_stages,)``; entries
+    beyond ``num_stages`` are NaN. ``betas[num_stages-1] == 1.0``."""
     acceptance: JAXArray
+    """Mutation-move acceptance rate per stage (NaN beyond the ladder)."""
     num_stages: JAXArray
 
 
@@ -146,7 +152,7 @@ def run_smc(
         return zs, n_acc / num_mutations
 
     def stage(carry):
-        key, zs, beta, log_Z, k, acc = carry
+        key, zs, beta, log_Z, k, betas, accs = carry
         key, key_res, key_mut = jax.random.split(key, 3)
 
         log_like = jax.vmap(flat_like)(zs)
@@ -158,13 +164,15 @@ def run_smc(
         idx = _systematic_resample(key_res, incr)
         zs = zs[idx]
         zs, acc_rate = mutate(key_mut, zs, new_beta)
-        return key, zs, new_beta, log_Z, k + 1, acc_rate
+        betas = betas.at[k].set(new_beta)
+        accs = accs.at[k].set(acc_rate)
+        return key, zs, new_beta, log_Z, k + 1, betas, accs
 
     def cond(carry):
-        _, _, beta, _, k, _ = carry
+        _, _, beta, _, k, _, _ = carry
         return (beta < 1.0) & (k < max_stages)
 
-    key, zs, beta, log_Z, k, acc = jax.lax.while_loop(
+    key, zs, beta, log_Z, k, betas, accs = jax.lax.while_loop(
         cond,
         stage,
         (
@@ -173,15 +181,16 @@ def run_smc(
             jnp.asarray(0.0, zs0.dtype),
             jnp.asarray(0.0, zs0.dtype),
             jnp.asarray(0, jnp.int32),
-            jnp.asarray(1.0, zs0.dtype),
+            jnp.full(max_stages, jnp.nan, zs0.dtype),
+            jnp.full(max_stages, jnp.nan, zs0.dtype),
         ),
     )
 
     return SMCResult(
         particles=jax.vmap(unravel)(zs),
-        log_weights=jnp.zeros(n),
+        log_weights=jnp.full(n, -jnp.log(jnp.asarray(n, zs.dtype))),
         log_evidence=log_Z,
-        betas=beta,
-        acceptance=acc,
+        betas=betas,
+        acceptance=accs,
         num_stages=k,
     )

@@ -6,17 +6,14 @@ TPU mapping: the three hot operations are (1) the O(N^2) kernel-matrix
 construction (fused by XLA, ~bandwidth bound), (2) the O(N^3) Cholesky
 factorization, and (3) the O(N^2) triangular solves.
 
-Why the factorization stays on XLA's native Cholesky (measured on v5e):
-f32-accurate MXU arithmetic tops out at ~30 TF/s (the 6-pass bf16
-emulation; the fast bf16 path is ~175 TF/s), and XLA's blocked Cholesky
-already sustains ~19 TF/s — 63% of that bound, 2.1x an A100 at N=1e4
-(BASELINE.md). A hand-blocked variant with split-bf16x2 trailing updates
-(:mod:`tinygp_tpu.ops.dense`) reaches ~12 ms at N=1e4 but its ~1.5e-5
-operand error produces indefinite trailing blocks (NaNs) at the condition
-numbers real GP covariances reach, and the accurate x3 splitting costs the
-same ~30 TF/s as XLA's path with none of its maturity — so the remaining
-headroom (<1.6x, triangular-aware scheduling) is not worth the numerical
-risk at this precision.
+The factorization: XLA's native TPU Cholesky runs trailing updates at the
+slow f32-accurate MXU rate (~19 TF/s sustained on v5e vs the ~175 TF/s
+bf16 fast path). For f32 matrices at N >= 4096 this solver instead uses
+:func:`tinygp_tpu.ops.dense.cholesky_with_fallback`: a right-looking
+blocked factorization whose trailing SYRK updates run as three-term-split
+bf16 GEMMs (4 MXU passes, ~6e-8 operand error — f32-grade) with a
+NaN-triggered native re-factorization for borderline-indefinite inputs.
+Set ``blocked=False`` to force the native kernel.
 """
 
 from __future__ import annotations
@@ -32,6 +29,7 @@ from jax.scipy import linalg
 from tinygp_tpu import kernels
 from tinygp_tpu.helpers import JAXArray
 from tinygp_tpu.noise import Noise
+from tinygp_tpu.ops.dense import cholesky_with_fallback
 from tinygp_tpu.solvers.solver import Solver
 
 
@@ -50,6 +48,7 @@ class DirectSolver(Solver):
         noise: Noise,
         *,
         covariance: Any | None = None,
+        blocked: bool = True,
     ):
         """Build the solver, factorizing eagerly.
 
@@ -59,15 +58,22 @@ class DirectSolver(Solver):
             noise: The observation noise model.
             covariance: Optionally, a pre-computed dense covariance matrix
                 (assumed equal to ``kernel(X, X) + noise``; not checked).
+            blocked: Use the MXU split-precision blocked Cholesky for large
+                f32 matrices (with automatic native fallback on breakdown).
+                ``False`` forces XLA's native kernel everywhere.
         """
         variance_value = kernel(X) + noise.diagonal()
         if covariance is None:
             covariance = kernel(X, X) + noise
+        if blocked:
+            scale_tril = cholesky_with_fallback(covariance)
+        else:
+            scale_tril = linalg.cholesky(covariance, lower=True)
         self._init(
             X=X,
             variance_value=variance_value,
             covariance_value=covariance,
-            scale_tril=linalg.cholesky(covariance, lower=True),
+            scale_tril=scale_tril,
         )
 
     def variance(self) -> JAXArray:

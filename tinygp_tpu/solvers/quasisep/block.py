@@ -3,13 +3,16 @@
 Behavioral parity: ``/root/reference/src/tinygp/solvers/quasisep/block.py``.
 Sums of quasiseparable kernels have block-diagonal transition matrices; this
 class keeps the blocks separate so the per-step transition cost stays the
-sum of the blocks' costs instead of the dense square.
+sum of the blocks' costs instead of the dense square. The stacked blocked
+scans (:mod:`tinygp_tpu.solvers.quasisep.scan`) densify a ``Block`` only at
+the level where their monoid combine genuinely needs the full matrix.
 """
 
 from __future__ import annotations
 
 __all__ = ["Block", "ensure_dense"]
 
+from collections.abc import Callable
 from typing import Any
 
 import jax
@@ -23,13 +26,16 @@ from tinygp_tpu.utils.module import Module
 
 def ensure_dense(x: Any) -> Any:
     """Densify a :class:`Block`; pass anything else through."""
-    if isinstance(x, Block):
-        return x.to_dense()
-    return x
+    return x.to_dense() if isinstance(x, Block) else x
 
 
 class Block(Module):
-    """A lazily block-diagonal square matrix built from square blocks."""
+    """A lazily block-diagonal square matrix built from square blocks.
+
+    Elementwise algebra distributes over the blocks; mixing with a dense
+    operand densifies. Matrix products against vectors/matrices split the
+    operand at the block boundaries so no dense square is ever formed.
+    """
 
     blocks: tuple[Any, ...]
 
@@ -38,8 +44,29 @@ class Block(Module):
     def __init__(self, *blocks: Any):
         self._init(blocks=tuple(blocks))
 
+    # -- helpers ------------------------------------------------------------
+
+    def _map(self, f: Callable[[Any], Any]) -> Block:
+        """Apply ``f`` block-by-block."""
+        return Block(*(f(b) for b in self.blocks))
+
+    def _map2(self, f: Callable[[Any, Any], Any], other: Block) -> Block:
+        """Combine with another Block of identical layout, block-by-block."""
+        if len(self.blocks) != len(other.blocks):
+            raise ValueError("Block layouts do not match")
+        for b1, b2 in zip(self.blocks, other.blocks):
+            if np.shape(b1) != np.shape(b2):
+                raise ValueError("Block layouts do not match")
+        return Block(*(f(b1, b2) for b1, b2 in zip(self.blocks, other.blocks)))
+
+    def _splits(self, axis_size_of: Callable[[Any], int]) -> list[int]:
+        """Cut points partitioning an operand at the block boundaries."""
+        return list(np.cumsum([axis_size_of(b) for b in self.blocks]))[:-1]
+
+    # -- shape protocol -----------------------------------------------------
+
     def __getitem__(self, idx: Any) -> Block:
-        return Block(*(b[idx] for b in self.blocks))
+        return self._map(lambda b: b[idx])
 
     def __len__(self) -> int:
         assert all(np.ndim(b) == 2 for b in self.blocks)
@@ -56,7 +83,7 @@ class Block(Module):
         return (size, size)
 
     def transpose(self) -> Block:
-        return Block(*(b.transpose() for b in self.blocks))
+        return self._map(lambda b: b.transpose())
 
     @property
     def T(self) -> Block:
@@ -64,7 +91,7 @@ class Block(Module):
 
     @property
     def mT(self) -> Block:
-        return Block(*(jnp.swapaxes(b, -1, -2) for b in self.blocks))
+        return self._map(lambda b: jnp.swapaxes(b, -1, -2))
 
     def to_dense(self) -> JAXArray:
         ndim = self.ndim
@@ -74,21 +101,17 @@ class Block(Module):
         # Batched blocks: map the dense assembly over the leading axis.
         return jax.vmap(lambda *bs: Block(*bs).to_dense())(*self.blocks)
 
+    # -- algebra ------------------------------------------------------------
+
     def __mul__(self, other: Any) -> Block:
-        return Block(*(b * other for b in self.blocks))
+        return self._map(lambda b: b * other)
 
     def __rmul__(self, other: Any) -> Block:
         return self.__mul__(other)
 
-    def _zip_blocks(self, other: Block) -> Any:
-        assert len(self.blocks) == len(other.blocks)
-        for b1, b2 in zip(self.blocks, other.blocks):
-            assert np.shape(b1) == np.shape(b2)
-        return zip(self.blocks, other.blocks)
-
     def __add__(self, other: Any) -> Any:
         if isinstance(other, Block):
-            return Block(*(b1 + b2 for b1, b2 in self._zip_blocks(other)))
+            return self._map2(lambda a, b: a + b, other)
         return self.to_dense() + other
 
     def __radd__(self, other: Any) -> Any:
@@ -96,7 +119,7 @@ class Block(Module):
 
     def __sub__(self, other: Any) -> Any:
         if isinstance(other, Block):
-            return Block(*(b1 - b2 for b1, b2 in self._zip_blocks(other)))
+            return self._map2(lambda a, b: a - b, other)
         return self.to_dense() - other
 
     def __rsub__(self, other: Any) -> Any:
@@ -104,27 +127,17 @@ class Block(Module):
 
     def __matmul__(self, other: Any) -> Any:
         if isinstance(other, Block):
-            return Block(*(pdot(b1, b2) for b1, b2 in self._zip_blocks(other)))
+            return self._map2(pdot, other)
         ndim = np.ndim(other)
         assert ndim >= 1
-        idx = 0
-        outs = []
-        for b in self.blocks:
-            size = np.shape(b)[-1]
-            piece = (
-                other[idx : idx + size]
-                if ndim == 1
-                else other[..., idx : idx + size, :]
-            )
-            outs.append(pdot(b, piece))
-            idx += size
-        return jnp.concatenate(outs, axis=0 if ndim == 1 else -2)
+        axis = 0 if ndim == 1 else -2
+        pieces = jnp.split(other, self._splits(lambda b: np.shape(b)[-1]), axis)
+        return jnp.concatenate(
+            [pdot(b, p) for b, p in zip(self.blocks, pieces)], axis
+        )
 
     def __rmatmul__(self, other: Any) -> Any:
-        idx = 0
-        outs = []
-        for b in self.blocks:
-            size = np.shape(b)[-2]
-            outs.append(pdot(other[..., idx : idx + size], b))
-            idx += size
-        return jnp.concatenate(outs, axis=-1)
+        pieces = jnp.split(other, self._splits(lambda b: np.shape(b)[-2]), -1)
+        return jnp.concatenate(
+            [pdot(p, b) for p, b in zip(pieces, self.blocks)], -1
+        )
