@@ -54,11 +54,15 @@ def main():
     out["native_chol_logdet_err"] = abs(v - logdet64)
     print("native:", t, flush=True)
 
-    for b in (256, 512):
-        t, v = chol_metric(lambda K, b=b: blocked_cholesky(K, block=b))
-        out[f"blocked{b}_chol_s"] = t
-        out[f"blocked{b}_chol_logdet_err"] = abs(v - logdet64)
-        print(f"blocked{b}:", t, flush=True)
+    for b, terms in ((512, 3), (512, 2), (1024, 2)):
+        t, v = chol_metric(
+            lambda K, b=b, terms=terms: blocked_cholesky(
+                K, block=b, terms=terms
+            )
+        )
+        out[f"blocked{b}_t{terms}_chol_s"] = t
+        out[f"blocked{b}_t{terms}_chol_logdet_err"] = abs(v - logdet64)
+        print(f"blocked{b} terms={terms}:", t, flush=True)
 
     t, v = chol_metric(cholesky_with_fallback)
     out["fallback_chol_s"] = t

@@ -1,0 +1,143 @@
+"""Multi-process (2 hosts x 4 devices) smoke test on a local CPU cluster.
+
+Launches two subprocesses that join a ``jax.distributed`` cluster over
+loopback, build a global 8-device mesh spanning both processes, run
+chain-parallel NUTS on a shared posterior, and exercise per-process
+sharded checkpointing — the same code path a TPU pod slice uses, minus the
+ICI.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+_WORKER = r"""
+import os, sys
+import numpy as np
+
+proc_id = int(sys.argv[1])
+port = sys.argv[2]
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from tinygp_tpu.parallel.mesh import initialize_distributed, make_mesh
+from tinygp_tpu.utils.checkpoint import (
+    load_pytree_sharded,
+    save_pytree_sharded,
+)
+
+pidx, pcount = initialize_distributed(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=2,
+    process_id=proc_id,
+)
+assert (pidx, pcount) == (proc_id, 2), (pidx, pcount)
+assert len(jax.devices()) == 8, len(jax.devices())
+assert len(jax.local_devices()) == 4
+
+# Idempotent re-entry.
+assert initialize_distributed() == (proc_id, 2)
+
+import jax.numpy as jnp
+import jax.experimental.multihost_utils
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tinygp_tpu.parallel.sharded import run_mcmc_sharded
+
+mesh = make_mesh(axis_names=("chains",))
+assert mesh.shape["chains"] == 8
+
+MU = np.array([0.7, -1.1])
+SD = np.array([1.3, 0.6])
+
+def log_prob(p):
+    return -0.5 * jnp.sum(jnp.square((p["x"] - MU) / SD))
+
+samples, info = run_mcmc_sharded(
+    jax.random.PRNGKey(0),
+    log_prob,
+    {"x": jnp.zeros(2)},
+    mesh=mesh,
+    num_chains=32,
+    num_warmup=200,
+    num_samples=200,
+)
+x = samples["x"]
+assert x.shape == (200, 32, 2)
+
+# Moment check on the globally-gathered samples.
+flat = np.asarray(
+    jax.experimental.multihost_utils.process_allgather(x, tiled=True)
+)
+assert flat.shape == (200, 32, 2)
+flat = flat.reshape(-1, 2)
+np.testing.assert_allclose(flat.mean(0), MU, atol=0.15)
+np.testing.assert_allclose(flat.std(0), SD, atol=0.2)
+
+# -- per-process sharded checkpointing ------------------------------------
+state = {
+    "z": jax.device_put(
+        jnp.arange(64.0).reshape(8, 8),
+        NamedSharding(mesh, P("chains")),
+    ),
+    "step": jnp.asarray(7),
+}
+assert not state["z"].is_fully_addressable
+path = sys.argv[3]
+save_pytree_sharded(path, state)
+
+template = {
+    "z": jax.device_put(
+        jnp.zeros((8, 8)), NamedSharding(mesh, P("chains"))
+    ),
+    "step": jnp.asarray(0),
+}
+back = load_pytree_sharded(path, template)
+got = np.asarray(
+    jax.experimental.multihost_utils.process_allgather(
+        back["z"], tiled=True
+    )
+)
+np.testing.assert_array_equal(got, np.arange(64.0).reshape(8, 8))
+assert int(back["step"]) == 7
+
+print(f"proc{proc_id} OK", flush=True)
+"""
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_cluster(tmp_path):
+    port = _free_port()
+    ckpt = str(tmp_path / "state")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    cwd = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(i), str(port), ckpt],
+            env=env,
+            cwd=cwd,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out}"
+        assert f"proc{i} OK" in out

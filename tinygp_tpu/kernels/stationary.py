@@ -46,6 +46,14 @@ class Stationary(Kernel):
     scale: JAXArray | float = field(default_factory=lambda: jnp.ones(()))
     distance: Distance = field(default_factory=L1Distance)
 
+    # Construction note (measured on v5e, N=1e4, Matern32): the default
+    # nested-vmap gram fuses into a single elementwise pass that runs at
+    # the HBM write roofline (~0.48 ms), i.e. ~2% of the blocked-Cholesky
+    # log-lik pipeline. The explicit Pallas tiled builder
+    # (tinygp_tpu.ops.pallas_gram.gram_tiled, 0.71 ms) is available for
+    # fused-consumer experiments but buys nothing for a materialized K, so
+    # it is not the default.
+
     def _r(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
         if jnp.ndim(self.scale):
             raise ValueError(

@@ -69,6 +69,13 @@ from tinygp_tpu.ops import pallas_dense
 _BLOCK = 512
 # Below this size XLA's native Cholesky wins (fixed per-panel overheads).
 _MIN_BLOCKED = 4096
+# Split order for the fused GEMMs: 3 = f32-grade (~2^-24 operand error),
+# 2 = ~2^-16 at half the MXU work. On well-conditioned matrices (e.g. the
+# N=1e4 Matern benchmark with diag=0.1) the 2-term factor is as accurate
+# as the native f32 kernel at ~2/3 the time, but it breaks down at the
+# sqrt(eps)-jitter conditioning real GP fits reach — so 3 (which holds up
+# wherever native f32 does) is the default and 2 is opt-in.
+_TERMS = 3
 
 
 def _split3(x: JAXArray) -> tuple[JAXArray, JAXArray, JAXArray]:
@@ -133,7 +140,11 @@ def _scaled(K: JAXArray) -> tuple[JAXArray, JAXArray]:
 
 
 def blocked_cholesky(
-    K: JAXArray, *, block: int = _BLOCK, min_size: int = _MIN_BLOCKED
+    K: JAXArray,
+    *,
+    block: int = _BLOCK,
+    min_size: int = _MIN_BLOCKED,
+    terms: int = _TERMS,
 ) -> JAXArray:
     """Lower Cholesky factor of an SPD matrix, MXU-tiled.
 
@@ -147,21 +158,21 @@ def blocked_cholesky(
     n = K.shape[0]
     if n < max(min_size, block) or K.dtype != jnp.float32:
         return jnp.linalg.cholesky(K)
-    return _blocked_chol(K, block)
+    return _blocked_chol(K, block, terms)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _blocked_chol(K: JAXArray, block: int) -> JAXArray:
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _blocked_chol(K: JAXArray, block: int, terms: int) -> JAXArray:
     with jax.default_matmul_precision("highest"):
-        return _blocked_cholesky_impl(K, block)
+        return _blocked_cholesky_impl(K, block, terms)
 
 
-def _blocked_chol_fwd(K, block):
-    L = _blocked_chol(K, block)
+def _blocked_chol_fwd(K, block, terms):
+    L = _blocked_chol(K, block, terms)
     return L, L
 
 
-def _blocked_chol_bwd(block, L, Lbar):
+def _blocked_chol_bwd(block, terms, L, Lbar):
     # The standard Cholesky reverse rule (bit-matched against JAX's native
     # VJP in tests): with X = L^T Lbar and P = tril(X) - diag(X)/2,
     # Kbar = sym(L^{-T} P L^{-1}). The factorization internals (Pallas
@@ -178,7 +189,7 @@ def _blocked_chol_bwd(block, L, Lbar):
 _blocked_chol.defvjp(_blocked_chol_fwd, _blocked_chol_bwd)
 
 
-def _blocked_cholesky_impl(K: JAXArray, block: int) -> JAXArray:
+def _blocked_cholesky_impl(K: JAXArray, block: int, terms: int) -> JAXArray:
     # The highest-precision context matters on TPU: the *internal* matmuls
     # of the diagonal-tile Cholesky and the triangular solve otherwise run
     # with bf16-demoted operands (the backend default), which is enough
@@ -203,34 +214,54 @@ def _blocked_cholesky_impl(K: JAXArray, block: int) -> JAXArray:
     # The fused Pallas kernels tile at 256 when the panel width allows.
     tile = 256 if block % 256 == 0 else block
 
+    # T is the working matrix, full size throughout: the fused trailing
+    # update aliases its buffer and touches only the trailing lower tiles,
+    # so no shrinking-slice copies ever happen. Only the lower triangle of
+    # T is kept valid. Factor panels collect in a list and assemble with
+    # ONE concatenate at the end — a dynamic_update_slice chain into a
+    # full-size L is NOT done in place by XLA here and costs a full-matrix
+    # copy per panel (measured: ~15 ms at N=1e4).
     T = K
     cols = []
     for k in range(nb):
-        A11 = T[:block, :block]
-        A21 = T[block:, :block]
-        L11 = jnp.linalg.cholesky(A11)
-        # Panel: L21 = A21 inv(L11)^T as a fused split GEMM against the
-        # explicit triangular inverse (the B^3/2 extra flops are noise).
-        # Panel accuracy feeds every later Schur complement, so this needs
-        # the full three-term split, not bare bf16.
-        L11invT = jax.scipy.linalg.solve_triangular(L11, eye, lower=True).T
-        if T.shape[0] > block:
-            L21 = pallas_dense.split_panel_matmul(A21, L11invT, tile=tile)
-            T = pallas_dense.syrk_sub(T[block:, block:], L21, tile=tile)
-            cols.append(jnp.concatenate([L11, L21], axis=0))
+        lo = k * block
+        A11 = lax.dynamic_slice(T, (lo, lo), (block, block))
+        # symmetrize_input=False: beyond the first panel, T only carries a
+        # valid lower triangle (the fused SYRK skips the mirror tiles), and
+        # the factorization never needs more.
+        L11 = lax.linalg.cholesky(A11, symmetrize_input=False)
+        if k + 1 < nb:
+            # Panel: L21 = A21 inv(L11)^T as a fused split GEMM against
+            # the explicit triangular inverse (the B^3/2 extra flops are
+            # noise). Panel accuracy feeds every later Schur complement,
+            # so it uses the same split order as the trailing updates.
+            L11invT = jax.scipy.linalg.solve_triangular(
+                L11, eye, lower=True
+            ).T
+            hi = lo + block
+            A21 = lax.dynamic_slice(T, (hi, lo), (m - hi, block))
+            L21 = pallas_dense.split_panel_matmul(
+                A21, L11invT, tile=tile, terms=terms
+            )
+            T = pallas_dense.syrk_sub_inplace(
+                T, L21, offset=hi, tile=tile, terms=terms
+            )
+            body = jnp.concatenate([L11, L21], axis=0)
         else:
-            cols.append(L11)
+            body = L11
+        zpad = jnp.zeros((lo, block), K.dtype)
+        cols.append(jnp.concatenate([zpad, body], axis=0))
 
-    rows = []
-    for k, col in enumerate(cols):
-        zpad = jnp.zeros((m - col.shape[0], block), K.dtype)
-        rows.append(jnp.concatenate([zpad, col], axis=0))
-    L = jnp.concatenate(rows, axis=1)[:n, :n]
+    L = jnp.concatenate(cols, axis=1)[:n, :n]
     return L * (1.0 / s)[:, None]
 
 
 def cholesky_with_fallback(
-    K: JAXArray, *, block: int = _BLOCK, min_size: int = _MIN_BLOCKED
+    K: JAXArray,
+    *,
+    block: int = _BLOCK,
+    min_size: int = _MIN_BLOCKED,
+    terms: int = _TERMS,
 ) -> JAXArray:
     """Blocked split-precision Cholesky, re-factoring natively on breakdown.
 
@@ -243,6 +274,6 @@ def cholesky_with_fallback(
     n = K.shape[0]
     if n < max(min_size, block) or K.dtype != jnp.float32:
         return jnp.linalg.cholesky(K)
-    L = blocked_cholesky(K, block=block, min_size=min_size)
+    L = blocked_cholesky(K, block=block, min_size=min_size, terms=terms)
     bad = jnp.any(jnp.isnan(jnp.diagonal(L)))
     return lax.cond(bad, jnp.linalg.cholesky, lambda _: L, K)

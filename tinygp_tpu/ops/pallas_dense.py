@@ -24,7 +24,7 @@ suite exercises the same code path.
 
 from __future__ import annotations
 
-__all__ = ["syrk_sub", "split_panel_matmul"]
+__all__ = ["syrk_sub", "syrk_sub_inplace", "split_panel_matmul"]
 
 import jax
 import jax.numpy as jnp
@@ -64,14 +64,45 @@ def _dot_nt(a: JAXArray, b: JAXArray) -> JAXArray:
     )
 
 
-def _syrk_sub_kernel(t_ref, li_ref, lj_ref, out_ref):
-    hi, mi, li = _split3(li_ref[:])
-    hj, mj, lj = _split3(lj_ref[:])
+def _split2(x: JAXArray):
+    """Two-term bf16 decomposition, x ~ h + l (~2^-16 residual)."""
+    h = x.astype(jnp.bfloat16)
+    l = (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h, l
+
+
+def _split_dots(xi, xj, terms: int, dot):
+    """Sum of split-product dots approximating ``xi @ xj'`` (' per dot)."""
+    if terms == 2:
+        hi, li = _split2(xi)
+        hj, lj = _split2(xj)
+        # x y = h h' + (h l' + l h') + O(2^-16)
+        return dot(hi, hj) + (dot(hi, lj) + dot(li, hj))
+    hi, mi, li = _split3(xi)
+    hj, mj, lj = _split3(xj)
     # x y = h h' + (h m' + m h') + (h l' + l h' + m m') + O(2^-24)
-    acc = _dot_nt(hi, hj)
-    acc = acc + (_dot_nt(hi, mj) + _dot_nt(mi, hj))
-    acc = acc + (_dot_nt(hi, lj) + (_dot_nt(li, hj) + _dot_nt(mi, mj)))
-    out_ref[:] = t_ref[:] - acc
+    acc = dot(hi, hj)
+    acc = acc + (dot(hi, mj) + dot(mi, hj))
+    return acc + (dot(hi, lj) + (dot(li, hj) + dot(mi, mj)))
+
+
+def _make_syrk_kernel(terms: int, lower_only: bool):
+    def kernel(t_ref, li_ref, lj_ref, out_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(jnp.logical_not(lower_only) | (j <= i))
+        def _():
+            acc = _split_dots(li_ref[:], lj_ref[:], terms, _dot_nt)
+            out_ref[:] = t_ref[:] - acc
+
+        if lower_only:
+
+            @pl.when(j > i)
+            def _():
+                out_ref[:] = jnp.zeros_like(out_ref)
+
+    return kernel
 
 
 def syrk_sub(
@@ -79,20 +110,30 @@ def syrk_sub(
     L: JAXArray,
     *,
     tile: int = 256,
+    terms: int = 3,
+    lower_only: bool = False,
     interpret: bool | None = None,
 ) -> JAXArray:
-    """``T - L @ L.T`` fused, at f32-grade (~2^-24) operand accuracy.
+    """``T - L @ L.T`` fused, with split-bf16 MXU accumulation.
 
     ``T`` is ``(m, m)`` f32, ``L`` is ``(m, b)`` f32 with ``m`` a multiple
     of ``tile``. One f32 output pass; everything else stays on-chip.
+
+    Args:
+        terms: 3 (default) for the f32-grade ~2^-24 operand error (six
+            dots/tile), or 2 for ~2^-16 at half the MXU work (three dots).
+        lower_only: Skip the dots for above-diagonal tiles and write zeros
+            there instead — the Cholesky driver only ever reads the lower
+            triangle of a Schur complement, so this halves the flops.
     """
     m, b = L.shape
     assert T.shape == (m, m) and m % tile == 0
     if interpret is None:
         interpret = not _on_tpu()
     n_t = m // tile
+    flops_scale = {2: 3, 3: 6}[terms] * (0.5 if lower_only else 1.0)
     return pl.pallas_call(
-        _syrk_sub_kernel,
+        _make_syrk_kernel(terms, lower_only),
         grid=(n_t, n_t),
         in_specs=[
             pl.BlockSpec((tile, tile), lambda i, j: (i, j)),
@@ -102,7 +143,7 @@ def syrk_sub(
         out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, m), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * 2 * m * m * b,
+            flops=int(flops_scale * 2 * m * m * b),
             bytes_accessed=2 * 4 * m * m + 2 * 4 * m * b,
             transcendentals=0,
         ),
@@ -110,24 +151,93 @@ def syrk_sub(
     )(T, L, L)
 
 
-def _panel_kernel(a_ref, w_ref, out_ref):
-    ah, am, al = _split3(a_ref[:])
-    wh, wm, wl = _split3(w_ref[:])
+def _make_syrk_inplace_kernel(terms: int):
+    def kernel(im_ref, jm_ref, t_ref, li_ref, lj_ref, out_ref):
+        del im_ref, jm_ref  # consumed by the index maps
+        acc = _split_dots(li_ref[:], lj_ref[:], terms, _dot_nt)
+        out_ref[:] = t_ref[:] - acc
 
-    def dot(x, y):
-        # precision pinned for the same reason as in _dot_nt.
-        return jax.lax.dot_general(
-            x,
-            y,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
+    return kernel
 
-    acc = dot(ah, wh)
-    acc = acc + (dot(ah, wm) + dot(am, wh))
-    acc = acc + (dot(ah, wl) + (dot(al, wh) + dot(am, wm)))
-    out_ref[:] = acc
+
+def syrk_sub_inplace(
+    T: JAXArray,
+    L: JAXArray,
+    *,
+    offset: int,
+    tile: int = 256,
+    terms: int = 3,
+    interpret: bool | None = None,
+) -> JAXArray:
+    """In-place ``T[offset:, offset:] -= L @ L.T``, lower tiles only.
+
+    The output buffer aliases ``T`` (which is consumed), the grid
+    enumerates exactly the at-or-below-diagonal tiles of the trailing
+    submatrix through scalar-prefetched index maps, and each visited tile
+    is read, updated and written once — so a full right-looking Cholesky
+    pass moves only ``O(N^3/(3 tile))`` reads and writes each updated
+    element exactly once, with no shrinking-slice copies in between.
+    Unvisited tiles (everything above the diagonal, and the already-
+    factored leading rows) keep their previous contents.
+    """
+    m = T.shape[0]
+    mt_m, b = L.shape
+    assert offset % tile == 0 and m % tile == 0 and mt_m == m - offset
+    if interpret is None:
+        interpret = not _on_tpu()
+    off_t = offset // tile
+    mt = (m - offset) // tile
+    pairs = [(i, j) for i in range(mt) for j in range(i + 1)]
+    i_map = jnp.asarray([i + off_t for i, _ in pairs], jnp.int32)
+    j_map = jnp.asarray([j + off_t for _, j in pairs], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(len(pairs),),
+        in_specs=[
+            pl.BlockSpec((tile, tile), lambda g, im, jm: (im[g], jm[g])),
+            pl.BlockSpec(
+                (tile, b), lambda g, im, jm, o=off_t: (im[g] - o, 0)
+            ),
+            pl.BlockSpec(
+                (tile, b), lambda g, im, jm, o=off_t: (jm[g] - o, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, tile), lambda g, im, jm: (im[g], jm[g])
+        ),
+    )
+    return pl.pallas_call(
+        _make_syrk_inplace_kernel(terms),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, m), jnp.float32),
+        # Operand numbering includes the two scalar-prefetch arrays.
+        input_output_aliases={2: 0},
+        cost_estimate=pl.CostEstimate(
+            flops={2: 3, 3: 6}[terms] * len(pairs) * 2 * tile * tile * b,
+            bytes_accessed=2 * 4 * len(pairs) * tile * tile,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(i_map, j_map, T, L, L)
+
+
+def _dot_nn(x: JAXArray, y: JAXArray) -> JAXArray:
+    # precision pinned for the same reason as in _dot_nt.
+    return jax.lax.dot_general(
+        x,
+        y,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _make_panel_kernel(terms: int):
+    def kernel(a_ref, w_ref, out_ref):
+        out_ref[:] = _split_dots(a_ref[:], w_ref[:], terms, _dot_nn)
+
+    return kernel
 
 
 def split_panel_matmul(
@@ -135,13 +245,14 @@ def split_panel_matmul(
     W: JAXArray,
     *,
     tile: int = 256,
+    terms: int = 3,
     interpret: bool | None = None,
 ) -> JAXArray:
-    """``A @ W`` fused three-term-split, for tall-skinny panels.
+    """``A @ W`` fused split-bf16, for tall-skinny panels.
 
     ``A`` is ``(m, b)``, ``W`` is ``(b, b)`` (held in VMEM whole), ``m`` a
     multiple of ``tile``. Used for the Cholesky panel step ``A21 @
-    inv(L11)^T`` where f32-grade accuracy is required but XLA's emulated
+    inv(L11)^T`` where near-f32 accuracy is required but XLA's emulated
     f32 matmul wastes 6 full passes.
     """
     m, b = A.shape
@@ -149,7 +260,7 @@ def split_panel_matmul(
     if interpret is None:
         interpret = not _on_tpu()
     return pl.pallas_call(
-        _panel_kernel,
+        _make_panel_kernel(terms),
         grid=(m // tile,),
         in_specs=[
             pl.BlockSpec((tile, b), lambda i: (i, 0)),
@@ -158,7 +269,7 @@ def split_panel_matmul(
         out_specs=pl.BlockSpec((tile, b), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m, b), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * 2 * m * b * b,
+            flops={2: 3, 3: 6}[terms] * 2 * m * b * b,
             bytes_accessed=4 * (2 * m * b + b * b),
             transcendentals=0,
         ),
