@@ -87,6 +87,32 @@ def test_blocked_cholesky_ill_conditioned_gp_covariance():
     assert np.max(np.abs(resid)) < 1e-4
 
 
+def test_adaptive_split_order_both_branches():
+    # High noise floor -> 2-term branch; low floor -> 3-term branch. Both
+    # must factor the (well-conditioned) matrix correctly.
+    rng = np.random.default_rng(11)
+    Nn = 768
+    A = jnp.asarray(rng.normal(size=(Nn, Nn)).astype(np.float32) / np.sqrt(Nn))
+    K = jnp.matmul(A, A.T, precision="highest") + jnp.eye(Nn)
+    Lx = _f64_chol(K)
+    for floor in (jnp.float32(0.5), jnp.float32(1e-4)):
+        L = cholesky_with_fallback(
+            K, block=256, min_size=0, rel_floor=floor
+        )
+        rel = float(np.max(np.abs(L - Lx)) / np.max(np.abs(Lx)))
+        assert rel < 1e-4, (float(floor), rel)
+
+    # The adaptive path also survives the sqrt(eps)-jitter conditioning
+    # (routed to 3 terms by the low floor).
+    x = np.linspace(0.0, 10.0, 768)
+    K64 = np.exp(-0.5 * (x[:, None] - x[None, :]) ** 2) + 3e-4 * np.eye(768)
+    K = jnp.asarray(K64, jnp.float32)
+    L = cholesky_with_fallback(
+        K, block=256, min_size=0, rel_floor=jnp.float32(3e-4)
+    )
+    assert bool(jnp.all(jnp.isfinite(jnp.diagonal(L))))
+
+
 def test_cholesky_with_fallback_matches_blocked_when_pd():
     rng = np.random.default_rng(4)
     N = 512

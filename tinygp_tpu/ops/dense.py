@@ -4,41 +4,49 @@ The reference's dense path factorizes with ``jax.scipy.linalg.cholesky``
 (``/root/reference/src/tinygp/solvers/direct.py:53``), which XLA lowers to
 its built-in blocked TPU Cholesky running trailing updates at the slow
 true-f32 MXU rate (~30 TF/s on v5e, measured; the MXU's native mode is
-bf16-multiply/f32-accumulate at ~175 TF/s). This module implements a
-right-looking blocked Cholesky whose O(N^3) bulk — the SYRK trailing
-updates — runs as **three-term split bf16 GEMMs** on the fast MXU path.
+bf16-multiply/f32-accumulate at ~175 TF/s). This module drives a
+right-looking blocked factorization whose O(N^3) bulk — the SYRK trailing
+updates — runs through the fused Pallas kernels in
+:mod:`tinygp_tpu.ops.pallas_dense` as **split-bf16 GEMMs** on the fast
+MXU path, updating the trailing matrix in place and touching only its
+lower-triangle tiles.
 
-Each f32 operand is decomposed into three bf16 pieces
+Split scheme: an f32 operand decomposes into bf16 pieces
 
     x = h + m + l,   h = bf16(x),  m = bf16(x - h),  l = bf16(x - h - m)
 
 with |m| <~ 2^-8 |x| and |l| <~ 2^-16 |x| (bf16 keeps 8 significand
-bits). Products expand as
+bits). The 3-term product expansion (six dots, with the symmetric update
+needing only the lower tiles) carries ~2^-24 operand error — native-f32
+grade; the 2-term expansion (three dots) carries ~2^-16, which measures
+*as accurate as the native f32 kernel* on jittered GP benchmark matrices
+but breaks down at sqrt(eps)-jitter conditioning. The split order is
+therefore chosen at runtime from a caller-supplied eigenvalue floor when
+available (:func:`cholesky_with_fallback`), e.g. the GP noise floor.
 
-    x y = h h' + (h m' + m h') + (h l' + l h' + m m') + O(2^-24)
-
-so the dropped terms sit at ~6e-8 relative — the same order as native f32
-rounding. For the *symmetric* rank-B update ``L L^T`` the two cross terms
-at each order are mutual transposes, so the whole update needs only FOUR
-GEMMs (hh, hm, hl, mm), i.e. ~1/4 of the ~175 TF/s bf16 rate vs the ~1/6
-that a general f32-emulated product costs. This is the decisive win over
-the round-1 two-term split, whose ~1.5e-5 operand error pushed trailing
-Schur complements indefinite at realistic GP condition numbers: at 2^-24
-the split factorization breaks down only where native f32 breaks down too.
+Measured at N=1e4 f32 on v5e (BENCH_DETAILS.json / benchmarks/):
+native XLA Cholesky 21.2 ms; this factorization 23.1 ms (3-term) /
+16.6 ms (2-term); the fused-kernel redesign took the split approach from
+a 61 ms bandwidth-bound XLA formulation (every partial GEMM materialized)
+to MXU-flop-bound.
 
 The serial panel work per block column (a B x B diagonal Cholesky and the
-triangular panel solve, together O(N^2 B) flops) stays in accurate f32
-("highest" MXU precision) — its error feeds straight into every later
-Schur complement, and at B << N it is a small slice of the total flops.
+triangular panel solve, together O(N^2 B) flops) runs under a pinned
+``default_matmul_precision("highest")`` scope — the backend otherwise
+demotes those internal f32 matmuls to bf16 operands, whose panel error
+pushed trailing Schur complements indefinite.
 
 Robustness measures:
 
 - the matrix is symmetrically pre-scaled to unit diagonal before
   factoring (``D^-1/2 K D^-1/2``), which removes dynamic-range-driven
   cancellation; the factor is rescaled on the way out;
-- callers can detect breakdown from NaNs on the factor diagonal;
-  :func:`cholesky_with_fallback` packages the lax.cond re-factorization
-  with XLA's native (slow, f32-accurate) kernel for that event.
+- breakdown reads as NaNs on the factor diagonal, exactly like the native
+  kernel; :func:`cholesky_with_fallback` re-factors natively in that
+  event (one ``lax.cond``);
+- gradients never differentiate the factorization internals: a custom VJP
+  implements the standard Cholesky reverse rule (verified bit-equal to
+  XLA's own) with two native triangular solves.
 
 Matrices are padded to a block multiple by embedding in
 ``blockdiag(K, I)``, whose factor is ``blockdiag(chol(K), I)``.
@@ -256,24 +264,53 @@ def _blocked_cholesky_impl(K: JAXArray, block: int, terms: int) -> JAXArray:
     return L * (1.0 / s)[:, None]
 
 
+# Relative eigenvalue floor above which the 2-term split is numerically
+# safe: its accumulated Schur error sits around 2^-16 x O(10), well below
+# this, while sqrt(eps)-jitter matrices (floor ~3e-4) need the 3-term path.
+_FAST_FLOOR = 1e-2
+
+
 def cholesky_with_fallback(
     K: JAXArray,
     *,
     block: int = _BLOCK,
     min_size: int = _MIN_BLOCKED,
-    terms: int = _TERMS,
+    terms: int | None = None,
+    rel_floor: JAXArray | None = None,
 ) -> JAXArray:
     """Blocked split-precision Cholesky, re-factoring natively on breakdown.
 
-    The split path's operand error sits at ~2^-24, so it only NaNs where
-    the matrix is borderline-indefinite at f32 anyway — but the native
-    kernel's error constant is a little smaller, so on NaN we pay one
-    accurate re-factorization rather than surface spurious failure. The
-    guard costs one reduction over the diagonal.
+    When ``rel_floor`` — a lower bound on ``lambda_min`` of the
+    unit-diagonal-scaled matrix, e.g. ``min(noise_diag / total_diag)`` for
+    a GP covariance — is provided and ``terms`` is not forced, the split
+    order is chosen at runtime: well-conditioned matrices take the 2-term
+    path (~2/3 the time), borderline ones the f32-grade 3-term path.
+
+    The split paths only NaN where the matrix is near-indefinite at their
+    operand precision; on NaN we pay one accurate native re-factorization
+    rather than surface spurious failure. The guard costs one reduction
+    over the diagonal.
     """
     n = K.shape[0]
     if n < max(min_size, block) or K.dtype != jnp.float32:
         return jnp.linalg.cholesky(K)
-    L = blocked_cholesky(K, block=block, min_size=min_size, terms=terms)
+    if terms is None and rel_floor is not None:
+        L = lax.cond(
+            rel_floor > _FAST_FLOOR,
+            lambda K: blocked_cholesky(
+                K, block=block, min_size=min_size, terms=2
+            ),
+            lambda K: blocked_cholesky(
+                K, block=block, min_size=min_size, terms=3
+            ),
+            K,
+        )
+    else:
+        L = blocked_cholesky(
+            K,
+            block=block,
+            min_size=min_size,
+            terms=_TERMS if terms is None else terms,
+        )
     bad = jnp.any(jnp.isnan(jnp.diagonal(L)))
     return lax.cond(bad, jnp.linalg.cholesky, lambda _: L, K)

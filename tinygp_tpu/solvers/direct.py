@@ -66,7 +66,15 @@ class DirectSolver(Solver):
         if covariance is None:
             covariance = kernel(X, X) + noise
         if blocked:
-            scale_tril = cholesky_with_fallback(covariance)
+            # The noise floor bounds lambda_min of the unit-scaled
+            # covariance from below (the kernel part is PSD), which picks
+            # the cheapest numerically-safe split order at runtime.
+            rel_floor = jnp.min(
+                noise.diagonal() / jnp.maximum(variance_value, 1e-30)
+            )
+            scale_tril = cholesky_with_fallback(
+                covariance, rel_floor=rel_floor
+            )
         else:
             scale_tril = linalg.cholesky(covariance, lower=True)
         self._init(
