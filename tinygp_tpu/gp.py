@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tinygp_tpu import kernels, means
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import Array
 from tinygp_tpu.noise import Diagonal, Noise
 from tinygp_tpu.solvers.solver import Solver
 from tinygp_tpu.utils.module import Module, static_field
@@ -57,22 +57,22 @@ class GaussianProcess(Module):
     num_data: int = static_field()
     dtype: Any = static_field()
     kernel: kernels.Kernel
-    X: JAXArray
+    X: Array
     mean_function: means.MeanBase
-    mean: JAXArray
+    mean: Array
     noise: Noise
     solver: Solver
 
     def __init__(
         self,
         kernel: kernels.Kernel,
-        X: JAXArray,
+        X: Array,
         *,
-        diag: JAXArray | None = None,
+        diag: Array | None = None,
         noise: Noise | None = None,
-        mean: means.MeanBase | Callable[[JAXArray], JAXArray] | JAXArray | None = None,
+        mean: means.MeanBase | Callable[[Array], Array] | Array | None = None,
         solver: Any | None = None,
-        mean_value: JAXArray | None = None,
+        mean_value: Array | None = None,
         covariance_value: Any | None = None,
         **solver_kwargs: Any,
     ):
@@ -129,18 +129,18 @@ class GaussianProcess(Module):
         )
 
     @property
-    def loc(self) -> JAXArray:
+    def loc(self) -> Array:
         return self.mean
 
     @property
-    def variance(self) -> JAXArray:
+    def variance(self) -> Array:
         return self.solver.variance()
 
     @property
-    def covariance(self) -> JAXArray:
+    def covariance(self) -> Array:
         return self.solver.covariance()
 
-    def log_probability(self, y: JAXArray) -> JAXArray:
+    def log_probability(self, y: Array) -> Array:
         """The marginal log probability of ``y`` under this process.
 
         Non-finite results (e.g. from an indefinite covariance) are mapped to
@@ -150,10 +150,10 @@ class GaussianProcess(Module):
 
     def condition(
         self,
-        y: JAXArray,
-        X_test: JAXArray | None = None,
+        y: Array,
+        X_test: Array | None = None,
         *,
-        diag: JAXArray | None = None,
+        diag: Array | None = None,
         noise: Noise | None = None,
         include_mean: bool = True,
         kernel: kernels.Kernel | None = None,
@@ -217,14 +217,14 @@ class GaussianProcess(Module):
     @partial(jax.jit, static_argnames=("include_mean", "return_var", "return_cov"))
     def predict(
         self,
-        y: JAXArray,
-        X_test: JAXArray | None = None,
+        y: Array,
+        X_test: Array | None = None,
         *,
         kernel: kernels.Kernel | None = None,
         include_mean: bool = True,
         return_var: bool = False,
         return_cov: bool = False,
-    ) -> JAXArray | tuple[JAXArray, JAXArray]:
+    ) -> Array | tuple[Array, Array]:
         """Posterior mean (and optionally variance/covariance) at ``X_test``."""
         _, cond = self.condition(y, X_test, kernel=kernel, include_mean=include_mean)
         if return_var:
@@ -237,7 +237,7 @@ class GaussianProcess(Module):
         self,
         key: jax.Array,
         shape: Sequence[int] | None = None,
-    ) -> JAXArray:
+    ) -> Array:
         """Draw realizations; returns shape ``shape + (N_data,)``."""
         return self._sample(key, None if shape is None else tuple(shape))
 
@@ -252,7 +252,7 @@ class GaussianProcess(Module):
         self,
         key: jax.Array,
         shape: tuple[int, ...] | None,
-    ) -> JAXArray:
+    ) -> Array:
         # Color white noise through the factor: mu + L @ eps. The data axis
         # leads into dot_triangular and is moved last on the way out, so
         # arbitrary batch shapes ride along untouched.
@@ -262,7 +262,7 @@ class GaussianProcess(Module):
         return self.mean + jnp.moveaxis(self.solver.dot_triangular(eps), 0, -1)
 
     @jax.jit
-    def _whiten(self, y: JAXArray) -> tuple[JAXArray, JAXArray]:
+    def _whiten(self, y: Array) -> tuple[Array, Array]:
         """Whitened residual ``L^{-1}(y - mu)`` and the marginal log-prob.
 
         The two always travel together: the log-prob is the squared norm of
@@ -275,12 +275,12 @@ class GaussianProcess(Module):
 
     def _posterior_mean(
         self,
-        kinv_r: JAXArray,
-        y: JAXArray,
-        X_test: JAXArray | None,
+        kinv_r: Array,
+        y: Array,
+        X_test: Array | None,
         include_mean: bool,
         kernel: kernels.Kernel | None,
-    ) -> JAXArray:
+    ) -> Array:
         """The predictive mean ``K(X*, X) K^{-1}(y - mu) [+ mu(X*)]``.
 
         Three routes, cheapest first: at the training points with the
@@ -305,11 +305,11 @@ class GaussianProcess(Module):
     @partial(jax.jit, static_argnums=(3,))
     def _condition(
         self,
-        y: JAXArray,
-        X_test: JAXArray | None,
+        y: Array,
+        X_test: Array | None,
         include_mean: bool,
         kernel: kernels.Kernel | None = None,
-    ) -> tuple[JAXArray, JAXArray, JAXArray]:
+    ) -> tuple[Array, Array, Array]:
         white, log_prob = self._whiten(y)
         # Second triangular solve: the whitened residual becomes K^{-1}(y - mu).
         kinv_r = self.solver.solve_triangular(white, transpose=True)
@@ -320,14 +320,14 @@ class GaussianProcess(Module):
 class ConditionResult(NamedTuple):
     """The result of conditioning a :class:`GaussianProcess` on data."""
 
-    log_probability: JAXArray
+    log_probability: Array
     """The marginal log likelihood of the observed data."""
 
     gp: GaussianProcess
     """The conditional process evaluated at the test points."""
 
 
-def _default_diag(reference: JAXArray) -> JAXArray:
+def _default_diag(reference: Array) -> Array:
     """sqrt(eps) jitter for the active dtype — enough to stabilize most
     Cholesky factorizations without visibly perturbing the model."""
     return jnp.sqrt(jnp.finfo(jnp.result_type(reference)).eps)

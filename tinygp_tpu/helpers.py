@@ -7,7 +7,7 @@ code written against tinygp keeps working.
 
 from __future__ import annotations
 
-__all__ = ["JAXArray", "dataclass", "field", "pdot"]
+__all__ = ["Array", "JAXArray", "dataclass", "field", "pdot"]
 
 from typing import Any
 
@@ -16,10 +16,14 @@ import jax.numpy as jnp
 
 from tinygp_tpu.utils.module import field as field
 
-JAXArray = jax.Array
+Array = jax.Array
+"""The primary array annotation used throughout this package."""
+
+JAXArray = Array
+"""Compatibility alias matching the reference's public name."""
 
 
-def pdot(x: JAXArray, y: JAXArray) -> JAXArray:
+def pdot(x: Array, y: Array) -> Array:
     """Precision-pinned matmul for the solver hot paths.
 
     TPUs demote f32 matmul operands to bf16 by default (8 mantissa bits).

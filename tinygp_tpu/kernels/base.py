@@ -33,7 +33,7 @@ from typing import TYPE_CHECKING, Any
 import jax
 import jax.numpy as jnp
 
-from tinygp_tpu.helpers import JAXArray, pdot
+from tinygp_tpu.helpers import Array, pdot
 from tinygp_tpu.utils.module import Module, field, static_field
 
 if TYPE_CHECKING:
@@ -51,19 +51,19 @@ class Kernel(Module):
     handled here via ``vmap``.
     """
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def evaluate(self, X1: Array, X2: Array) -> Array:
         """Evaluate the kernel at a single pair of inputs."""
         del X1, X2
         raise NotImplementedError
 
-    def evaluate_diag(self, X: JAXArray) -> JAXArray:
+    def evaluate_diag(self, X: Array) -> Array:
         """Evaluate the kernel variance at a single input.
 
         Defaults to ``evaluate(X, X)``; subclasses can specialize.
         """
         return self.evaluate(X, X)
 
-    def gram(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def gram(self, X1: Array, X2: Array) -> Array:
         """Build the full cross-covariance matrix ``K[i, j] = k(X1[i], X2[j])``.
 
         This is the batched construction hook. The default implementation
@@ -74,16 +74,16 @@ class Kernel(Module):
             jax.vmap(self.evaluate, in_axes=(None, 0)), in_axes=(0, None)
         )(X1, X2)
 
-    def diag(self, X: JAXArray) -> JAXArray:
+    def diag(self, X: Array) -> Array:
         """Evaluate the kernel diagonal over a dataset."""
         return jax.vmap(self.evaluate_diag)(X)
 
     def matmul(
         self,
-        X1: JAXArray,
-        X2: JAXArray | None = None,
-        y: JAXArray | None = None,
-    ) -> JAXArray:
+        X1: Array,
+        X2: Array | None = None,
+        y: Array | None = None,
+    ) -> Array:
         """Compute ``K(X1, X2) @ y`` (densely, by default)."""
         if y is None:
             assert X2 is not None
@@ -92,13 +92,13 @@ class Kernel(Module):
             X2 = X1
         return jnp.dot(self(X1, X2), y)
 
-    def __call__(self, X1: JAXArray, X2: JAXArray | None = None) -> JAXArray:
+    def __call__(self, X1: Array, X2: Array | None = None) -> Array:
         if X2 is None:
             return _checked_ndim(self.diag(X1), 1, "diagonal")
         return _checked_ndim(self.gram(X1, X2), 2, "matrix")
 
     # -- composition algebra ------------------------------------------------
-    def __add__(self, other: Kernel | JAXArray) -> Kernel:
+    def __add__(self, other: Kernel | Array) -> Kernel:
         return Sum(self, _as_kernel(other))
 
     def __radd__(self, other: Any) -> Kernel:
@@ -107,7 +107,7 @@ class Kernel(Module):
             return self
         return Sum(_as_kernel(other), self)
 
-    def __mul__(self, other: Kernel | JAXArray) -> Kernel:
+    def __mul__(self, other: Kernel | Array) -> Kernel:
         return Product(self, _as_kernel(other))
 
     def __rmul__(self, other: Any) -> Kernel:
@@ -119,7 +119,7 @@ def _as_kernel(obj: Any) -> Kernel:
     return obj if isinstance(obj, Kernel) else Constant(obj)
 
 
-def _checked_ndim(k: JAXArray, ndim: int, what: str) -> JAXArray:
+def _checked_ndim(k: Array, ndim: int, what: str) -> Array:
     if k.ndim != ndim:
         raise ValueError(
             f"kernel evaluation produced a {k.ndim}-d {what} where {ndim}-d "
@@ -137,17 +137,17 @@ class Conditioned(Kernel):
     ``kernels/base.py:129-153``).
     """
 
-    X: JAXArray
+    X: Array
     solver: Solver
     kernel: Kernel
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def evaluate(self, X1: Array, X2: Array) -> Array:
         k_vec = jax.vmap(self.kernel.evaluate, in_axes=(0, None))
         A1 = self.solver.solve_triangular(k_vec(self.X, X1))
         A2 = self.solver.solve_triangular(k_vec(self.X, X2))
         return self.kernel.evaluate(X1, X2) - pdot(A1.T, A2)
 
-    def evaluate_diag(self, X: JAXArray) -> JAXArray:
+    def evaluate_diag(self, X: Array) -> Array:
         k_vec = jax.vmap(self.kernel.evaluate, in_axes=(0, None))
         A = self.solver.solve_triangular(k_vec(self.X, X))
         return self.kernel.evaluate_diag(X) - pdot(A.T, A)
@@ -158,7 +158,7 @@ class Custom(Kernel):
 
     function: Callable[[Any, Any], Any] = static_field()
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def evaluate(self, X1: Array, X2: Array) -> Array:
         return self.function(X1, X2)
 
 
@@ -168,10 +168,10 @@ class Sum(Kernel):
     kernel1: Kernel
     kernel2: Kernel
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def evaluate(self, X1: Array, X2: Array) -> Array:
         return self.kernel1.evaluate(X1, X2) + self.kernel2.evaluate(X1, X2)
 
-    def gram(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def gram(self, X1: Array, X2: Array) -> Array:
         # Summing full matrices keeps each operand's batched fast path.
         return self.kernel1.gram(X1, X2) + self.kernel2.gram(X1, X2)
 
@@ -182,19 +182,19 @@ class Product(Kernel):
     kernel1: Kernel
     kernel2: Kernel
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def evaluate(self, X1: Array, X2: Array) -> Array:
         return self.kernel1.evaluate(X1, X2) * self.kernel2.evaluate(X1, X2)
 
-    def gram(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def gram(self, X1: Array, X2: Array) -> Array:
         return self.kernel1.gram(X1, X2) * self.kernel2.gram(X1, X2)
 
 
 class Constant(Kernel):
     r"""A constant kernel: :math:`k(x_i, x_j) = c`."""
 
-    value: JAXArray | float
+    value: Array | float
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def evaluate(self, X1: Array, X2: Array) -> Array:
         del X1, X2
         if jnp.ndim(self.value) != 0:
             raise ValueError(
@@ -207,12 +207,12 @@ class Constant(Kernel):
 class DotProduct(Kernel):
     r"""The dot-product kernel :math:`k(x_i, x_j) = x_i \cdot x_j`."""
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def evaluate(self, X1: Array, X2: Array) -> Array:
         if jnp.ndim(X1) == 0:
             return X1 * X2
         return X1 @ X2
 
-    def gram(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def gram(self, X1: Array, X2: Array) -> Array:
         # A single MXU matmul instead of N*M dot products.
         X1 = jnp.asarray(X1)
         X2 = jnp.asarray(X2)
@@ -234,11 +234,11 @@ class Polynomial(Kernel):
         sigma: The parameter :math:`\sigma`.
     """
 
-    order: JAXArray | float
-    scale: JAXArray | float = field(default_factory=lambda: jnp.ones(()))
-    sigma: JAXArray | float = field(default_factory=lambda: jnp.zeros(()))
+    order: Array | float
+    scale: Array | float = field(default_factory=lambda: jnp.ones(()))
+    sigma: Array | float = field(default_factory=lambda: jnp.zeros(()))
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def evaluate(self, X1: Array, X2: Array) -> Array:
         base = (
             jnp.sum((X1 / self.scale) * (X2 / self.scale))
             + jnp.square(self.sigma)

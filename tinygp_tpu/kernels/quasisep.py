@@ -43,7 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.scipy.linalg import block_diag as dense_block_diag
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import Array
 from tinygp_tpu.kernels.base import Kernel
 from tinygp_tpu.solvers.quasisep.block import Block, ensure_dense
 from tinygp_tpu.solvers.quasisep.core import (
@@ -55,14 +55,14 @@ from tinygp_tpu.solvers.quasisep.general import GeneralQSM
 from tinygp_tpu.utils.module import field, static_field
 
 
-def _mT(matrix: JAXArray) -> JAXArray:
+def _mT(matrix: Array) -> Array:
     """Transpose the trailing matrix dims, Block-aware."""
     if isinstance(matrix, Block):
         return matrix.mT
     return jnp.swapaxes(matrix, -1, -2)
 
 
-def _vm(v: JAXArray, M: JAXArray) -> JAXArray:
+def _vm(v: Array, M: Array) -> Array:
     """Row-batched ``v @ M`` as mul+reduce, never a ``dot_general``.
 
     ``v`` is ``(n, m)``; ``M`` is ``(m, k)`` or batched ``(n, m, k)``.
@@ -77,7 +77,7 @@ def _vm(v: JAXArray, M: JAXArray) -> JAXArray:
     return jnp.sum(v[..., :, None] * M, axis=-2)
 
 
-def _anchor(h: JAXArray, t: JAXArray) -> JAXArray:
+def _anchor(h: Array, t: Array) -> Array:
     """Tie a (possibly input-independent) generator array to the inputs.
 
     Observation models are often constant in ``X``, which would make the
@@ -101,28 +101,28 @@ class Quasisep(Kernel):
     pointwise evaluation) is derived here.
     """
 
-    def design_matrix(self) -> JAXArray:
+    def design_matrix(self) -> Array:
         """The SDE design (drift) matrix F."""
         raise NotImplementedError
 
-    def stationary_covariance(self) -> JAXArray:
+    def stationary_covariance(self) -> Array:
         """The stationary state covariance Pinf."""
         raise NotImplementedError
 
-    def observation_model(self, X: JAXArray) -> JAXArray:
+    def observation_model(self, X: Array) -> Array:
         """The observation vector h at one coordinate."""
         raise NotImplementedError
 
-    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def transition_matrix(self, X1: Array, X2: Array) -> Array:
         """The adjoint propagator: if means propagate as ``m2 = F @ m1``,
         return ``F.T`` (i.e. ``expm(design_matrix().T * dt)``)."""
         raise NotImplementedError
 
-    def coord_to_sortable(self, X: JAXArray) -> JAXArray:
+    def coord_to_sortable(self, X: Array) -> Array:
         """Map a (possibly structured) coordinate to a sortable scalar."""
         return X
 
-    def to_symm_qsm(self, X: JAXArray) -> SymmQSM:
+    def to_symm_qsm(self, X: Array) -> SymmQSM:
         """The symmetric quasiseparable representation of ``K(X, X)``."""
         Pinf = self.stationary_covariance()
         X_prev = jax.tree_util.tree_map(
@@ -138,7 +138,7 @@ class Quasisep(Kernel):
             diag=DiagQSM(d=d), lower=StrictLowerTriQSM(p=p, q=q, a=a)
         )
 
-    def to_general_qsm(self, X1: JAXArray, X2: JAXArray) -> GeneralQSM:
+    def to_general_qsm(self, X1: Array, X2: Array) -> GeneralQSM:
         """The rectangular representation of ``K(X1, X2)``."""
         sortable = jax.vmap(self.coord_to_sortable)
         idx = jnp.searchsorted(sortable(X2), sortable(X1), side="right") - 1
@@ -176,10 +176,10 @@ class Quasisep(Kernel):
 
     def matmul(
         self,
-        X1: JAXArray,
-        X2: JAXArray | None = None,
-        y: JAXArray | None = None,
-    ) -> JAXArray:
+        X1: Array,
+        X2: Array | None = None,
+        y: Array | None = None,
+    ) -> Array:
         """O(N) matvec through the quasiseparable representation."""
         if y is None:
             assert X2 is not None
@@ -189,7 +189,7 @@ class Quasisep(Kernel):
         return self.to_general_qsm(X1, X2) @ y
 
     # -- algebra (closed within the quasisep family) ------------------------
-    def __add__(self, other: Kernel | JAXArray) -> Kernel:
+    def __add__(self, other: Kernel | Array) -> Kernel:
         if not isinstance(other, Quasisep):
             raise ValueError(
                 "Quasisep kernels can only be added to other Quasisep kernels"
@@ -205,7 +205,7 @@ class Quasisep(Kernel):
             )
         return Sum(other, self)
 
-    def __mul__(self, other: Kernel | JAXArray) -> Kernel:
+    def __mul__(self, other: Kernel | Array) -> Kernel:
         if isinstance(other, Quasisep):
             return Product(self, other)
         if isinstance(other, Kernel) or jnp.ndim(other) != 0:
@@ -225,7 +225,7 @@ class Quasisep(Kernel):
             )
         return Scale(kernel=self, scale=other)
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def evaluate(self, X1: Array, X2: Array) -> Array:
         """Pointwise evaluation via the state-space representation.
 
         Branches on time order, so non-reversible (causal) processes are
@@ -246,7 +246,7 @@ class Quasisep(Kernel):
         bwd = form(h1, h2, self.transition_matrix(X2, X1))
         return jnp.where(t1 < t2, fwd, bwd)
 
-    def evaluate_diag(self, X: JAXArray) -> JAXArray:
+    def evaluate_diag(self, X: Array) -> Array:
         h = self.observation_model(X)
         Pinf = ensure_dense(self.stationary_covariance())
         return jnp.sum(jnp.sum(h[:, None] * Pinf, axis=0) * h)
@@ -257,19 +257,19 @@ class Wrapper(Quasisep):
 
     kernel: Quasisep
 
-    def coord_to_sortable(self, X: JAXArray) -> JAXArray:
+    def coord_to_sortable(self, X: Array) -> Array:
         return self.kernel.coord_to_sortable(X)
 
-    def design_matrix(self) -> JAXArray:
+    def design_matrix(self) -> Array:
         return self.kernel.design_matrix()
 
-    def stationary_covariance(self) -> JAXArray:
+    def stationary_covariance(self) -> Array:
         return self.kernel.stationary_covariance()
 
-    def observation_model(self, X: JAXArray) -> JAXArray:
+    def observation_model(self, X: Array) -> Array:
         return self.kernel.observation_model(self.coord_to_sortable(X))
 
-    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def transition_matrix(self, X1: Array, X2: Array) -> Array:
         return self.kernel.transition_matrix(
             self.coord_to_sortable(X1), self.coord_to_sortable(X2)
         )
@@ -290,11 +290,11 @@ class Sum(Quasisep):
     kernel2: Quasisep
     use_block: bool = static_field(default=True)
 
-    def coord_to_sortable(self, X: JAXArray) -> JAXArray:
+    def coord_to_sortable(self, X: Array) -> Array:
         # Both operands are assumed to share coordinates.
         return self.kernel1.coord_to_sortable(X)
 
-    def _combine(self, m1: JAXArray, m2: JAXArray) -> JAXArray:
+    def _combine(self, m1: Array, m2: Array) -> Array:
         if not self.use_block:
             return dense_block_diag(ensure_dense(m1), ensure_dense(m2))
         # Flatten nested Blocks so sums of sums stay a single-level Block.
@@ -302,18 +302,18 @@ class Sum(Quasisep):
         blocks2 = m2.blocks if isinstance(m2, Block) else (m2,)
         return Block(*blocks1, *blocks2)
 
-    def design_matrix(self) -> JAXArray:
+    def design_matrix(self) -> Array:
         return self._combine(
             self.kernel1.design_matrix(), self.kernel2.design_matrix()
         )
 
-    def stationary_covariance(self) -> JAXArray:
+    def stationary_covariance(self) -> Array:
         return self._combine(
             self.kernel1.stationary_covariance(),
             self.kernel2.stationary_covariance(),
         )
 
-    def observation_model(self, X: JAXArray) -> JAXArray:
+    def observation_model(self, X: Array) -> Array:
         return jnp.concatenate(
             (
                 self.kernel1.observation_model(X),
@@ -321,14 +321,14 @@ class Sum(Quasisep):
             )
         )
 
-    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def transition_matrix(self, X1: Array, X2: Array) -> Array:
         return self._combine(
             self.kernel1.transition_matrix(X1, X2),
             self.kernel2.transition_matrix(X1, X2),
         )
 
 
-def _kron(m1: JAXArray, m2: JAXArray) -> JAXArray:
+def _kron(m1: Array, m2: Array) -> Array:
     """Kronecker combination for products of state-space models."""
     m1 = ensure_dense(m1)
     m2 = ensure_dense(m2)
@@ -345,27 +345,27 @@ class Product(Quasisep):
     kernel1: Quasisep
     kernel2: Quasisep
 
-    def coord_to_sortable(self, X: JAXArray) -> JAXArray:
+    def coord_to_sortable(self, X: Array) -> Array:
         return self.kernel1.coord_to_sortable(X)
 
-    def design_matrix(self) -> JAXArray:
+    def design_matrix(self) -> Array:
         F1 = ensure_dense(self.kernel1.design_matrix())
         F2 = ensure_dense(self.kernel2.design_matrix())
         return _kron(F1, jnp.eye(F2.shape[0])) + _kron(jnp.eye(F1.shape[0]), F2)
 
-    def stationary_covariance(self) -> JAXArray:
+    def stationary_covariance(self) -> Array:
         return _kron(
             self.kernel1.stationary_covariance(),
             self.kernel2.stationary_covariance(),
         )
 
-    def observation_model(self, X: JAXArray) -> JAXArray:
+    def observation_model(self, X: Array) -> Array:
         return _kron(
             self.kernel1.observation_model(X),
             self.kernel2.observation_model(X),
         )
 
-    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def transition_matrix(self, X1: Array, X2: Array) -> Array:
         return _kron(
             self.kernel1.transition_matrix(X1, X2),
             self.kernel2.transition_matrix(X1, X2),
@@ -375,9 +375,9 @@ class Product(Quasisep):
 class Scale(Wrapper):
     """A scalar multiple of a quasisep kernel (scales Pinf)."""
 
-    scale: JAXArray | float
+    scale: Array | float
 
-    def stationary_covariance(self) -> JAXArray:
+    def stationary_covariance(self) -> Array:
         return self.scale * self.kernel.stationary_covariance()
 
 
@@ -391,21 +391,21 @@ class Celerite(Quasisep):
     Positive definiteness requires ``a*c - b*d > 0`` (NaNs otherwise).
     """
 
-    a: JAXArray | float
-    b: JAXArray | float
-    c: JAXArray | float
-    d: JAXArray | float
+    a: Array | float
+    b: Array | float
+    c: Array | float
+    d: Array | float
 
-    def design_matrix(self) -> JAXArray:
+    def design_matrix(self) -> Array:
         return jnp.array([[-self.c, -self.d], [self.d, -self.c]])
 
-    def stationary_covariance(self) -> JAXArray:
+    def stationary_covariance(self) -> Array:
         ratio = self.c / self.d
         return jnp.array(
             [[1.0, -ratio], [-ratio, 1.0 + 2.0 * jnp.square(ratio)]]
         )
 
-    def observation_model(self, X: JAXArray) -> JAXArray:
+    def observation_model(self, X: Array) -> Array:
         del X
         # Solve for the observation vector whose induced kernel matches the
         # (a, b, c, d) parameterization against this Pinf.
@@ -418,7 +418,7 @@ class Celerite(Quasisep):
         h1 = (c * h2 - jnp.sqrt(a * d2 - s2 * h2_2)) / d
         return jnp.array([h1, h2])
 
-    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def transition_matrix(self, X1: Array, X2: Array) -> Array:
         dt = X2 - X1
         cos = jnp.cos(self.d * dt)
         sin = jnp.sin(self.d * dt)
@@ -451,25 +451,25 @@ class SHO(Quasisep):
         sigma: The amplitude :math:`\sigma` (default 1).
     """
 
-    omega: JAXArray | float
-    quality: JAXArray | float
-    sigma: JAXArray | float = field(default_factory=lambda: jnp.ones(()))
+    omega: Array | float
+    quality: Array | float
+    sigma: Array | float = field(default_factory=lambda: jnp.ones(()))
 
     _CRITICAL_TOL = 1e-5
 
-    def design_matrix(self) -> JAXArray:
+    def design_matrix(self) -> Array:
         return jnp.array(
             [[0.0, 1.0], [-jnp.square(self.omega), -self.omega / self.quality]]
         )
 
-    def stationary_covariance(self) -> JAXArray:
+    def stationary_covariance(self) -> Array:
         return jnp.diag(jnp.array([1.0, jnp.square(self.omega)]))
 
-    def observation_model(self, X: JAXArray) -> JAXArray:
+    def observation_model(self, X: Array) -> Array:
         del X
         return jnp.array([self.sigma, 0.0])
 
-    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def transition_matrix(self, X1: Array, X2: Array) -> Array:
         dt = X2 - X1
         w = self.omega
         q = self.quality
@@ -512,20 +512,20 @@ class Exp(Quasisep):
         sigma: The amplitude :math:`\sigma` (default 1).
     """
 
-    scale: JAXArray | float
-    sigma: JAXArray | float = field(default_factory=lambda: jnp.ones(()))
+    scale: Array | float
+    sigma: Array | float = field(default_factory=lambda: jnp.ones(()))
 
-    def design_matrix(self) -> JAXArray:
+    def design_matrix(self) -> Array:
         return jnp.array([[-1.0 / self.scale]])
 
-    def stationary_covariance(self) -> JAXArray:
+    def stationary_covariance(self) -> Array:
         return jnp.ones((1, 1))
 
-    def observation_model(self, X: JAXArray) -> JAXArray:
+    def observation_model(self, X: Array) -> Array:
         del X
         return jnp.array([self.sigma])
 
-    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def transition_matrix(self, X1: Array, X2: Array) -> Array:
         dt = jnp.asarray(X2 - X1)
         return jnp.exp(-dt[None, None] / self.scale)
 
@@ -539,21 +539,21 @@ class Matern32(Quasisep):
         sigma: The amplitude :math:`\sigma` (default 1).
     """
 
-    scale: JAXArray | float
-    sigma: JAXArray | float = field(default_factory=lambda: jnp.ones(()))
+    scale: Array | float
+    sigma: Array | float = field(default_factory=lambda: jnp.ones(()))
 
-    def design_matrix(self) -> JAXArray:
+    def design_matrix(self) -> Array:
         f = np.sqrt(3.0) / self.scale
         return jnp.array([[0.0, 1.0], [-jnp.square(f), -2.0 * f]])
 
-    def stationary_covariance(self) -> JAXArray:
+    def stationary_covariance(self) -> Array:
         return jnp.diag(jnp.array([1.0, 3.0 / jnp.square(self.scale)]))
 
-    def observation_model(self, X: JAXArray) -> JAXArray:
+    def observation_model(self, X: Array) -> Array:
         del X
         return jnp.array([self.sigma, 0.0])
 
-    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def transition_matrix(self, X1: Array, X2: Array) -> Array:
         dt = X2 - X1
         f = np.sqrt(3.0) / self.scale
         return jnp.exp(-f * dt) * jnp.array(
@@ -570,17 +570,17 @@ class Matern52(Quasisep):
         sigma: The amplitude :math:`\sigma` (default 1).
     """
 
-    scale: JAXArray | float
-    sigma: JAXArray | float = field(default_factory=lambda: jnp.ones(()))
+    scale: Array | float
+    sigma: Array | float = field(default_factory=lambda: jnp.ones(()))
 
-    def design_matrix(self) -> JAXArray:
+    def design_matrix(self) -> Array:
         f = np.sqrt(5.0) / self.scale
         f2 = jnp.square(f)
         return jnp.array(
             [[0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [-f2 * f, -3.0 * f2, -3.0 * f]]
         )
 
-    def stationary_covariance(self) -> JAXArray:
+    def stationary_covariance(self) -> Array:
         f = np.sqrt(5.0) / self.scale
         f2 = jnp.square(f)
         f2o3 = f2 / 3.0
@@ -592,11 +592,11 @@ class Matern52(Quasisep):
             ]
         )
 
-    def observation_model(self, X: JAXArray) -> JAXArray:
+    def observation_model(self, X: Array) -> Array:
         del X
         return jnp.array([self.sigma, 0.0, 0.0])
 
-    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def transition_matrix(self, X1: Array, X2: Array) -> Array:
         dt = X2 - X1
         f = np.sqrt(5.0) / self.scale
         f2 = jnp.square(f)
@@ -630,21 +630,21 @@ class Cosine(Quasisep):
         sigma: The amplitude :math:`\sigma` (default 1).
     """
 
-    scale: JAXArray | float
-    sigma: JAXArray | float = field(default_factory=lambda: jnp.ones(()))
+    scale: Array | float
+    sigma: Array | float = field(default_factory=lambda: jnp.ones(()))
 
-    def design_matrix(self) -> JAXArray:
+    def design_matrix(self) -> Array:
         f = 2.0 * np.pi / self.scale
         return jnp.array([[0.0, -f], [f, 0.0]])
 
-    def stationary_covariance(self) -> JAXArray:
+    def stationary_covariance(self) -> Array:
         return jnp.eye(2)
 
-    def observation_model(self, X: JAXArray) -> JAXArray:
+    def observation_model(self, X: Array) -> Array:
         del X
         return jnp.array([self.sigma, 0.0])
 
-    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def transition_matrix(self, X1: Array, X2: Array) -> Array:
         dt = X2 - X1
         f = 2.0 * np.pi / self.scale
         cos = jnp.cos(f * dt)
@@ -672,17 +672,17 @@ class CARMA(Quasisep):
         O(N) solves themselves run fine on TPU).
     """
 
-    alpha: JAXArray
-    beta: JAXArray
-    sigma: JAXArray
-    arroots_re: JAXArray
-    arroots_im: JAXArray
-    acf_re: JAXArray
-    acf_im: JAXArray
-    _real_mask: JAXArray
-    _complex_mask: JAXArray
-    _complex_select: JAXArray
-    obsmodel: JAXArray
+    alpha: Array
+    beta: Array
+    sigma: Array
+    arroots_re: Array
+    arroots_im: Array
+    acf_re: Array
+    acf_im: Array
+    _real_mask: Array
+    _complex_mask: Array
+    _complex_select: Array
+    obsmodel: Array
 
     def __init__(self, alpha: Any, beta: Any):
         sigma = jnp.ones(())
@@ -733,25 +733,25 @@ class CARMA(Quasisep):
         )
 
     @property
-    def arroots(self) -> JAXArray:
+    def arroots(self) -> Array:
         """Complex AR roots (CPU-friendly view of the (re, im) fields)."""
         return jax.lax.complex(self.arroots_re, self.arroots_im)
 
     @property
-    def acf(self) -> JAXArray:
+    def acf(self) -> Array:
         """Complex ACVF coefficients (CPU-friendly view)."""
         return jax.lax.complex(self.acf_re, self.acf_im)
 
     @classmethod
-    def init(cls, alpha: JAXArray, beta: JAXArray) -> CARMA:
+    def init(cls, alpha: Array, beta: Array) -> CARMA:
         return cls(alpha, beta)
 
     @classmethod
     def from_quads(
         cls,
-        alpha_quads: JAXArray,
-        beta_quads: JAXArray,
-        beta_mult: JAXArray,
+        alpha_quads: Array,
+        beta_quads: Array,
+        beta_mult: Array,
     ) -> CARMA:
         r"""Construct from quadratic factors of the characteristic polynomials.
 
@@ -771,7 +771,7 @@ class CARMA(Quasisep):
         beta = carma_quads2poly(jnp.append(beta_quads, beta_mult))
         return cls(alpha, beta)
 
-    def design_matrix(self) -> JAXArray:
+    def design_matrix(self) -> Array:
         real = jnp.diag(self.arroots_re * self._real_mask)
         cplx_diag = jnp.diag(self.arroots_re * self._complex_mask)
         cplx_off = jnp.diag(
@@ -779,7 +779,7 @@ class CARMA(Quasisep):
         )
         return real + cplx_diag + cplx_off - cplx_off.T
 
-    def stationary_covariance(self) -> JAXArray:
+    def stationary_covariance(self) -> Array:
         p = self.acf_re.shape[0]
         sign = jnp.diag(jnp.where(self.acf_re > 0, jnp.ones(p), -jnp.ones(p)))
         denom = jnp.where(self._real_mask, 1.0, self.arroots_im)
@@ -793,11 +793,11 @@ class CARMA(Quasisep):
         off = jnp.diag((-ratio * self._complex_select)[:-1], k=1)
         return sign + second + off + off.T
 
-    def observation_model(self, X: JAXArray) -> JAXArray:
+    def observation_model(self, X: Array) -> Array:
         del X
         return self.obsmodel
 
-    def transition_matrix(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def transition_matrix(self, X1: Array, X2: Array) -> Array:
         dt = X2 - X1
         c = -self.arroots_re
         d = -self.arroots_im
@@ -827,7 +827,7 @@ def _cdiv(a, b):
     return (a[0] * b[0] + a[1] * b[1]) / d, (a[1] * b[0] - a[0] * b[1]) / d
 
 
-def _carma_roots_ri(poly_coeffs: JAXArray) -> tuple[JAXArray, JAXArray]:
+def _carma_roots_ri(poly_coeffs: Array) -> tuple[Array, Array]:
     """Roots (sorted by real part) of a real polynomial, as (re, im).
 
     Degrees 1-2 use closed forms; higher degrees run a fixed-iteration
@@ -890,7 +890,7 @@ def _carma_roots_ri(poly_coeffs: JAXArray) -> tuple[JAXArray, JAXArray]:
     return re[order], im[order]
 
 
-def carma_roots(poly_coeffs: JAXArray) -> JAXArray:
+def carma_roots(poly_coeffs: Array) -> Array:
     """Sorted complex roots (low-to-high coefficients). CPU-friendly
     wrapper over the pair-arithmetic solver; on TPU use the internal
     (re, im) form — this backend has no complex primitives."""
@@ -899,7 +899,7 @@ def carma_roots(poly_coeffs: JAXArray) -> JAXArray:
 
 
 @jax.jit
-def carma_quads2poly(quads_coeffs: JAXArray) -> JAXArray:
+def carma_quads2poly(quads_coeffs: Array) -> Array:
     """Expand quadratic factors into a full polynomial (low-to-high).
 
     The last input entry is the multiplier (the highest-order output
@@ -926,7 +926,7 @@ def carma_quads2poly(quads_coeffs: JAXArray) -> JAXArray:
     return poly[::-1] * mult
 
 
-def carma_poly2quads(poly_coeffs: JAXArray) -> JAXArray:
+def carma_poly2quads(poly_coeffs: Array) -> Array:
     """Factor a polynomial (low-to-high) into quadratic coefficients."""
     mult = poly_coeffs[-1]
     roots = carma_roots(poly_coeffs / mult)
@@ -947,11 +947,11 @@ def carma_poly2quads(poly_coeffs: JAXArray) -> JAXArray:
 
 
 def _carma_acvf_ri(
-    roots_re: JAXArray,
-    roots_im: JAXArray,
-    arparam: JAXArray,
-    maparam: JAXArray,
-) -> tuple[JAXArray, JAXArray]:
+    roots_re: Array,
+    roots_im: Array,
+    arparam: Array,
+    maparam: Array,
+) -> tuple[Array, Array]:
     r"""Autocovariance coefficients (Kelly+14 Eq. 4), in (re, im) pairs."""
     arparam = jnp.atleast_1d(arparam)
     maparam = jnp.atleast_1d(maparam)
@@ -995,8 +995,8 @@ def _carma_acvf_ri(
 
 
 def carma_acvf(
-    arroots: JAXArray, arparam: JAXArray, maparam: JAXArray
-) -> JAXArray:
+    arroots: Array, arparam: Array, maparam: Array
+) -> Array:
     r"""Autocovariance coefficients, one per AR root (Kelly+14 Eq. 4).
 
     CPU-friendly complex wrapper over the pair-arithmetic implementation.

@@ -25,7 +25,7 @@ __all__ = [
 import jax.numpy as jnp
 import numpy as np
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import Array
 from tinygp_tpu.kernels.base import Kernel
 from tinygp_tpu.kernels.distance import Distance, L1Distance, L2Distance
 from tinygp_tpu.utils.module import field
@@ -43,7 +43,7 @@ class Stationary(Kernel):
             :class:`ExpSquared` and :class:`RationalQuadratic`).
     """
 
-    scale: JAXArray | float = field(default_factory=lambda: jnp.ones(()))
+    scale: Array | float = field(default_factory=lambda: jnp.ones(()))
     distance: Distance = field(default_factory=L1Distance)
 
     # Construction note (measured on v5e, N=1e4, Matern32): the default
@@ -54,30 +54,39 @@ class Stationary(Kernel):
     # fused-consumer experiments but buys nothing for a materialized K, so
     # it is not the default.
 
-    def _r(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def profile(self, r: Array) -> Array:
+        """The radial profile ``k(r)``; most subclasses implement only this.
+
+        Kernels that are cheaper (or gradient-safer) in the *squared*
+        distance override :meth:`evaluate` directly instead.
+        """
+        raise NotImplementedError
+
+    def evaluate(self, X1: Array, X2: Array) -> Array:
+        return self.profile(self._r(X1, X2))
+
+    def _check_scale(self) -> None:
         if jnp.ndim(self.scale):
             raise ValueError(
-                "Only scalar scales are permitted for stationary kernels; "
-                "use transforms.Linear or transforms.Cholesky for more "
-                "flexibility"
+                "stationary kernels take a single scalar length scale; "
+                "per-dimension scales are spelled as input transforms "
+                "(transforms.Linear / transforms.Cholesky)"
             )
+
+    def _r(self, X1: Array, X2: Array) -> Array:
+        self._check_scale()
         return self.distance.distance(X1, X2) / self.scale
 
-    def _r2(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
-        if jnp.ndim(self.scale):
-            raise ValueError(
-                "Only scalar scales are permitted for stationary kernels; "
-                "use transforms.Linear or transforms.Cholesky for more "
-                "flexibility"
-            )
+    def _r2(self, X1: Array, X2: Array) -> Array:
+        self._check_scale()
         return self.distance.squared_distance(X1, X2) / jnp.square(self.scale)
 
 
 class Exp(Stationary):
     r""":math:`k(r) = \exp(-r)` with :math:`r` the (scaled) L1 distance."""
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
-        return jnp.exp(-self._r(X1, X2))
+    def profile(self, r: Array) -> Array:
+        return jnp.exp(-r)
 
 
 class ExpSquared(Stationary):
@@ -85,31 +94,31 @@ class ExpSquared(Stationary):
 
     distance: Distance = field(default_factory=L2Distance)
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def evaluate(self, X1: Array, X2: Array) -> Array:
         return jnp.exp(-0.5 * self._r2(X1, X2))
 
 
 class Matern32(Stationary):
     r""":math:`k(r) = (1+\sqrt{3}r)\exp(-\sqrt{3}r)`."""
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
-        arg = np.sqrt(3.0) * self._r(X1, X2)
+    def profile(self, r: Array) -> Array:
+        arg = np.sqrt(3.0) * r
         return (1.0 + arg) * jnp.exp(-arg)
 
 
 class Matern52(Stationary):
     r""":math:`k(r) = (1+\sqrt{5}r+5r^2/3)\exp(-\sqrt{5}r)`."""
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
-        arg = np.sqrt(5.0) * self._r(X1, X2)
+    def profile(self, r: Array) -> Array:
+        arg = np.sqrt(5.0) * r
         return (1.0 + arg + jnp.square(arg) / 3.0) * jnp.exp(-arg)
 
 
 class Cosine(Stationary):
     r""":math:`k(r) = \cos(2\pi r)` with period ``scale``."""
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
-        return jnp.cos(2.0 * jnp.pi * self._r(X1, X2))
+    def profile(self, r: Array) -> Array:
+        return jnp.cos(2.0 * jnp.pi * r)
 
 
 class ExpSineSquared(Stationary):
@@ -120,15 +129,14 @@ class ExpSineSquared(Stationary):
         gamma: The required parameter :math:`\Gamma`.
     """
 
-    gamma: JAXArray | float | None = None
+    gamma: Array | float | None = None
 
     def __post_init__(self) -> None:
         if self.gamma is None:
             raise ValueError("Missing required argument 'gamma'")
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def profile(self, r: Array) -> Array:
         assert self.gamma is not None
-        r = self._r(X1, X2)
         return jnp.exp(-self.gamma * jnp.square(jnp.sin(jnp.pi * r)))
 
 
@@ -140,13 +148,13 @@ class RationalQuadratic(Stationary):
         alpha: The required parameter :math:`\alpha`.
     """
 
-    alpha: JAXArray | float | None = None
+    alpha: Array | float | None = None
 
     def __post_init__(self) -> None:
         if self.alpha is None:
             raise ValueError("Missing required argument 'alpha'")
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def evaluate(self, X1: Array, X2: Array) -> Array:
         assert self.alpha is not None
         r2 = self._r2(X1, X2)
         return (1.0 + 0.5 * r2 / self.alpha) ** -self.alpha

@@ -14,13 +14,13 @@ from collections.abc import Callable
 import jax
 import jax.numpy as jnp
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import Array
 from tinygp_tpu.kernels.base import Kernel
 from tinygp_tpu.utils.module import Module, static_field
 
 
 class MeanBase(Module):
-    def __call__(self, X: JAXArray) -> JAXArray:
+    def __call__(self, X: Array) -> Array:
         raise NotImplementedError
 
 
@@ -32,17 +32,17 @@ class Mean(MeanBase):
             to the scalar mean there.
     """
 
-    value: JAXArray
-    func: Callable[[JAXArray], JAXArray] | None = static_field(default=None)
+    value: Array
+    func: Callable[[Array], Array] | None = static_field(default=None)
 
-    def __init__(self, value: JAXArray | Callable[[JAXArray], JAXArray]):
+    def __init__(self, value: Array | Callable[[Array], Array]):
         if callable(value):
             # Keep a defined (zero) leaf so the pytree has a stable structure.
             self._init(func=value, value=jnp.zeros(()))
         else:
             self._init(func=None, value=value)
 
-    def __call__(self, X: JAXArray) -> JAXArray:
+    def __call__(self, X: Array) -> Array:
         if self.func is not None:
             return self.func(X)
         return self.value
@@ -54,13 +54,13 @@ class Conditioned(MeanBase):
     ``mu(x) = k(x, X) @ alpha (+ prior mean)`` where ``alpha = K^{-1} y``.
     """
 
-    X: JAXArray
-    alpha: JAXArray
+    X: Array
+    alpha: Array
     kernel: Kernel
     include_mean: bool = static_field(default=True)
     mean_function: MeanBase | None = None
 
-    def __call__(self, X: JAXArray) -> JAXArray:
+    def __call__(self, X: Array) -> Array:
         Ks = jax.vmap(self.kernel.evaluate, in_axes=(None, 0))(X, self.X)
         mu = Ks @ self.alpha
         if self.include_mean and self.mean_function is not None:

@@ -16,7 +16,7 @@ from typing import TYPE_CHECKING
 import jax.numpy as jnp
 import numpy as np
 
-from tinygp_tpu.helpers import JAXArray, pdot
+from tinygp_tpu.helpers import Array, pdot
 from tinygp_tpu.utils.module import Module
 
 if TYPE_CHECKING:
@@ -28,17 +28,17 @@ class Noise(Module):
 
     __array_priority__ = 2001
 
-    def diagonal(self) -> JAXArray:
+    def diagonal(self) -> Array:
         """The diagonal of the noise matrix."""
         raise NotImplementedError
 
-    def __add__(self, other: JAXArray) -> JAXArray:
+    def __add__(self, other: Array) -> Array:
         raise NotImplementedError
 
-    def __radd__(self, other: JAXArray) -> JAXArray:
+    def __radd__(self, other: Array) -> Array:
         raise NotImplementedError
 
-    def __matmul__(self, other: JAXArray) -> JAXArray:
+    def __matmul__(self, other: Array) -> Array:
         raise NotImplementedError
 
     def to_qsm(self) -> SymmQSM | DiagQSM:
@@ -53,7 +53,7 @@ class Diagonal(Noise):
         diag: The ``(N,)`` diagonal entries (broadcast scalars first).
     """
 
-    diag: JAXArray
+    diag: Array
 
     def __post_init__(self) -> None:
         if jnp.ndim(self.diag) != 1:
@@ -63,21 +63,21 @@ class Diagonal(Noise):
                 "first"
             )
 
-    def diagonal(self) -> JAXArray:
+    def diagonal(self) -> Array:
         return self.diag
 
-    def _add(self, other: JAXArray) -> JAXArray:
+    def _add(self, other: Array) -> Array:
         other = jnp.asarray(other)
         idx = jnp.diag_indices(other.shape[0])
         return other.at[idx].add(self.diag)
 
-    def __add__(self, other: JAXArray) -> JAXArray:
+    def __add__(self, other: Array) -> Array:
         return self._add(other)
 
-    def __radd__(self, other: JAXArray) -> JAXArray:
+    def __radd__(self, other: Array) -> Array:
         return self._add(other)
 
-    def __matmul__(self, other: JAXArray) -> JAXArray:
+    def __matmul__(self, other: Array) -> Array:
         if jnp.ndim(other) == 1:
             return self.diag * other
         return self.diag[:, None] * other
@@ -95,18 +95,18 @@ class Dense(Noise):
         :class:`tinygp_tpu.solvers.QuasisepSolver`.
     """
 
-    value: JAXArray
+    value: Array
 
-    def diagonal(self) -> JAXArray:
+    def diagonal(self) -> Array:
         return jnp.diag(self.value)
 
-    def __add__(self, other: JAXArray) -> JAXArray:
+    def __add__(self, other: Array) -> Array:
         return self.value + other
 
-    def __radd__(self, other: JAXArray) -> JAXArray:
+    def __radd__(self, other: Array) -> Array:
         return other + self.value
 
-    def __matmul__(self, other: JAXArray) -> JAXArray:
+    def __matmul__(self, other: Array) -> Array:
         return pdot(self.value, other)
 
     def to_qsm(self) -> SymmQSM | DiagQSM:
@@ -128,10 +128,10 @@ class Banded(Noise):
     ``noise.py:127-236``).
     """
 
-    diag: JAXArray
-    off_diags: JAXArray
+    diag: Array
+    off_diags: Array
 
-    def diagonal(self) -> JAXArray:
+    def diagonal(self) -> Array:
         return self.diag
 
     def _band_index_pairs(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -149,7 +149,7 @@ class Banded(Noise):
             np.concatenate(cols),
         )
 
-    def _add(self, other: JAXArray) -> JAXArray:
+    def _add(self, other: Array) -> Array:
         other = jnp.asarray(other)
         out = other.at[jnp.diag_indices(other.shape[0])].add(self.diag)
         src_r, src_b, dst_r, dst_c = self._band_index_pairs()
@@ -158,13 +158,13 @@ class Banded(Noise):
         out = out.at[(dst_c, dst_r)].add(vals)
         return out
 
-    def __add__(self, other: JAXArray) -> JAXArray:
+    def __add__(self, other: Array) -> Array:
         return self._add(other)
 
-    def __radd__(self, other: JAXArray) -> JAXArray:
+    def __radd__(self, other: Array) -> Array:
         return self._add(other)
 
-    def __matmul__(self, other: JAXArray) -> JAXArray:
+    def __matmul__(self, other: Array) -> Array:
         return self.to_qsm() @ other
 
     def to_qsm(self) -> SymmQSM:

@@ -67,7 +67,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import Array
 from tinygp_tpu.ops import pallas_dense
 
 # Panel width. The trailing SYRK fraction of the flops is ~(1 - 3B/2N), so
@@ -86,7 +86,7 @@ _MIN_BLOCKED = 4096
 _TERMS = 3
 
 
-def _split3(x: JAXArray) -> tuple[JAXArray, JAXArray, JAXArray]:
+def _split3(x: Array) -> tuple[Array, Array, Array]:
     """Three-term bf16 decomposition of an f32 array, x ~ h + m + l."""
     h = x.astype(jnp.bfloat16)
     r = x - h.astype(jnp.float32)
@@ -95,7 +95,7 @@ def _split3(x: JAXArray) -> tuple[JAXArray, JAXArray, JAXArray]:
     return h, m, l
 
 
-def _mm(a: JAXArray, b: JAXArray, transpose_b: bool) -> JAXArray:
+def _mm(a: Array, b: Array, transpose_b: bool) -> Array:
     dims = ((1,), (1,)) if transpose_b else ((1,), (0,))
     return lax.dot_general(
         a, b, (dims, ((), ())), preferred_element_type=jnp.float32
@@ -103,8 +103,8 @@ def _mm(a: JAXArray, b: JAXArray, transpose_b: bool) -> JAXArray:
 
 
 def split_matmul(
-    X: JAXArray, Y: JAXArray, *, transpose_y: bool = False
-) -> JAXArray:
+    X: Array, Y: Array, *, transpose_y: bool = False
+) -> Array:
     """``X @ Y`` (or ``X @ Y.T``) via three-term bf16 splitting on the MXU.
 
     Six fast-path GEMMs; ~6e-8 relative operand error (f32-grade). Only
@@ -125,7 +125,7 @@ def split_matmul(
     )
 
 
-def split_syrk(L: JAXArray) -> JAXArray:
+def split_syrk(L: Array) -> Array:
     """``L @ L.T`` with the 4-GEMM three-term split.
 
     Cross terms of matching order are mutual transposes, so the expansion
@@ -141,19 +141,19 @@ def split_syrk(L: JAXArray) -> JAXArray:
     return out + (S2 + jnp.swapaxes(S2, -1, -2) + _mm(m, m, True))
 
 
-def _scaled(K: JAXArray) -> tuple[JAXArray, JAXArray]:
+def _scaled(K: Array) -> tuple[Array, Array]:
     d = jnp.diagonal(K)
     s = jnp.where(d > 0, lax.rsqrt(jnp.maximum(d, jnp.finfo(K.dtype).tiny)), 1.0)
     return K * s[:, None] * s[None, :], s
 
 
 def blocked_cholesky(
-    K: JAXArray,
+    K: Array,
     *,
     block: int = _BLOCK,
     min_size: int = _MIN_BLOCKED,
     terms: int = _TERMS,
-) -> JAXArray:
+) -> Array:
     """Lower Cholesky factor of an SPD matrix, MXU-tiled.
 
     Equivalent to ``jnp.linalg.cholesky(K)`` up to f32-grade rounding in
@@ -170,7 +170,7 @@ def blocked_cholesky(
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def _blocked_chol(K: JAXArray, block: int, terms: int) -> JAXArray:
+def _blocked_chol(K: Array, block: int, terms: int) -> Array:
     with jax.default_matmul_precision("highest"):
         return _blocked_cholesky_impl(K, block, terms)
 
@@ -197,7 +197,7 @@ def _blocked_chol_bwd(block, terms, L, Lbar):
 _blocked_chol.defvjp(_blocked_chol_fwd, _blocked_chol_bwd)
 
 
-def _blocked_cholesky_impl(K: JAXArray, block: int, terms: int) -> JAXArray:
+def _blocked_cholesky_impl(K: Array, block: int, terms: int) -> Array:
     # The highest-precision context matters on TPU: the *internal* matmuls
     # of the diagonal-tile Cholesky and the triangular solve otherwise run
     # with bf16-demoted operands (the backend default), which is enough
@@ -271,13 +271,13 @@ _FAST_FLOOR = 1e-2
 
 
 def cholesky_with_fallback(
-    K: JAXArray,
+    K: Array,
     *,
     block: int = _BLOCK,
     min_size: int = _MIN_BLOCKED,
     terms: int | None = None,
-    rel_floor: JAXArray | None = None,
-) -> JAXArray:
+    rel_floor: Array | None = None,
+) -> Array:
     """Blocked split-precision Cholesky, re-factoring natively on breakdown.
 
     When ``rel_floor`` — a lower bound on ``lambda_min`` of the

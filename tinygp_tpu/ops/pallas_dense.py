@@ -31,14 +31,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import Array
 
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _split3(x: JAXArray):
+def _split3(x: Array):
     """Three-term bf16 decomposition, x ~ h + m + l (VPU elementwise)."""
     h = x.astype(jnp.bfloat16)
     r = x - h.astype(jnp.float32)
@@ -47,7 +47,7 @@ def _split3(x: JAXArray):
     return h, m, l
 
 
-def _dot_nt(a: JAXArray, b: JAXArray) -> JAXArray:
+def _dot_nt(a: Array, b: Array) -> Array:
     """``a @ b.T`` on the MXU with an f32 accumulator.
 
     Precision is pinned to DEFAULT: the operands are already bf16 by
@@ -64,7 +64,7 @@ def _dot_nt(a: JAXArray, b: JAXArray) -> JAXArray:
     )
 
 
-def _split2(x: JAXArray):
+def _split2(x: Array):
     """Two-term bf16 decomposition, x ~ h + l (~2^-16 residual)."""
     h = x.astype(jnp.bfloat16)
     l = (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -106,14 +106,14 @@ def _make_syrk_kernel(terms: int, lower_only: bool):
 
 
 def syrk_sub(
-    T: JAXArray,
-    L: JAXArray,
+    T: Array,
+    L: Array,
     *,
     tile: int = 256,
     terms: int = 3,
     lower_only: bool = False,
     interpret: bool | None = None,
-) -> JAXArray:
+) -> Array:
     """``T - L @ L.T`` fused, with split-bf16 MXU accumulation.
 
     ``T`` is ``(m, m)`` f32, ``L`` is ``(m, b)`` f32 with ``m`` a multiple
@@ -161,14 +161,14 @@ def _make_syrk_inplace_kernel(terms: int):
 
 
 def syrk_sub_inplace(
-    T: JAXArray,
-    L: JAXArray,
+    T: Array,
+    L: Array,
     *,
     offset: int,
     tile: int = 256,
     terms: int = 3,
     interpret: bool | None = None,
-) -> JAXArray:
+) -> Array:
     """In-place ``T[offset:, offset:] -= L @ L.T``, lower tiles only.
 
     The output buffer aliases ``T`` (which is consumed), the grid
@@ -222,7 +222,7 @@ def syrk_sub_inplace(
     )(i_map, j_map, T, L, L)
 
 
-def _dot_nn(x: JAXArray, y: JAXArray) -> JAXArray:
+def _dot_nn(x: Array, y: Array) -> Array:
     # precision pinned for the same reason as in _dot_nt.
     return jax.lax.dot_general(
         x,
@@ -241,13 +241,13 @@ def _make_panel_kernel(terms: int):
 
 
 def split_panel_matmul(
-    A: JAXArray,
-    W: JAXArray,
+    A: Array,
+    W: Array,
     *,
     tile: int = 256,
     terms: int = 3,
     interpret: bool | None = None,
-) -> JAXArray:
+) -> Array:
     """``A @ W`` fused split-bf16, for tall-skinny panels.
 
     ``A`` is ``(m, b)``, ``W`` is ``(b, b)`` (held in VMEM whole), ``m`` a

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import Array
 
 _TILE = 256
 
@@ -44,7 +44,7 @@ def _nested_vmap_gram(kernel, X1, X2):
     )(X1, X2)
 
 
-def supports_tiled_gram(kernel, X1: JAXArray, X2: JAXArray) -> bool:
+def supports_tiled_gram(kernel, X1: Array, X2: Array) -> bool:
     """Whether the Pallas builder can handle this (kernel, inputs) combo.
 
     Requires plain f32 array inputs (1-D or 2-D) and f32/integer kernel
@@ -69,7 +69,7 @@ def supports_tiled_gram(kernel, X1: JAXArray, X2: JAXArray) -> bool:
     return all(map(leaf_ok, jax.tree_util.tree_leaves(kernel)))
 
 
-def _pad_axis0(X: JAXArray, to: int) -> JAXArray:
+def _pad_axis0(X: Array, to: int) -> Array:
     pad = (-X.shape[0]) % to
     if not pad:
         return X
@@ -167,12 +167,12 @@ _gram_tiled.defvjp(_gram_tiled_fwd, _gram_tiled_bwd)
 
 def gram_tiled(
     kernel,
-    X1: JAXArray,
-    X2: JAXArray,
+    X1: Array,
+    X2: Array,
     *,
     tile: int = _TILE,
     interpret: bool | None = None,
-) -> JAXArray:
+) -> Array:
     """Build ``K[i, j] = kernel.evaluate(X1[i], X2[j])`` in MXU/VPU tiles.
 
     Drop-in replacement for the nested-``vmap`` construction for kernels

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import Array
 from tinygp_tpu.solvers.quasisep import scan as chip_scan
 
 
@@ -74,8 +74,8 @@ def sharded_monoid_scan(combine, identity, elems, *, axis_name: str):
 
 
 def sharded_affine_scan(
-    A: JAXArray, B: JAXArray, *, axis_name: str
-) -> JAXArray:
+    A: Array, B: Array, *, axis_name: str
+) -> Array:
     """Sharded forward-exclusive affine scan (inside ``shard_map``).
 
     ``A``: local ``(n, m, m)`` transitions; ``B``: local ``(n, m, r)``
@@ -104,13 +104,13 @@ def sharded_affine_scan(
 
 
 def sharded_riccati_scan(
-    d: JAXArray,
-    p: JAXArray,
-    q: JAXArray,
-    a: JAXArray,
+    d: Array,
+    p: Array,
+    q: Array,
+    a: Array,
     *,
     axis_name: str,
-) -> JAXArray:
+) -> Array:
     """Sharded exclusive Riccati flow (inside ``shard_map``).
 
     Same matrix-fraction monoid as the on-chip strategy
@@ -195,13 +195,13 @@ def _local_loglik_pieces(d, p, q, a, y, *, axis_name: str):
 
 def sharded_loglik(
     kernel,
-    X: JAXArray,
-    y: JAXArray,
+    X: Array,
+    y: Array,
     *,
-    diag: JAXArray | float,
+    diag: Array | float,
     mesh: Mesh,
     axis: str = "data",
-) -> JAXArray:
+) -> Array:
     """GP marginal log-likelihood with the time axis sharded over ``mesh``.
 
     The quasiseparable generators are built shard-locally (each device

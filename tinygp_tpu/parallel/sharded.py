@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import Array
 from tinygp_tpu.parallel.mesh import chain_axis, local_chunk
 from tinygp_tpu.samplers.hmc import (
     HMCState,
@@ -43,7 +43,7 @@ from tinygp_tpu.samplers.smc import _next_beta, _systematic_resample
 
 def run_mcmc_sharded(
     key: jax.Array,
-    log_prob_fn: Callable[[Any], JAXArray],
+    log_prob_fn: Callable[[Any], Array],
     init_params: Any,
     *,
     mesh: Mesh,
@@ -144,8 +144,8 @@ def run_mcmc_sharded(
 
 def run_smc_sharded(
     key: jax.Array,
-    log_prior_fn: Callable[[Any], JAXArray],
-    log_like_fn: Callable[[Any], JAXArray],
+    log_prior_fn: Callable[[Any], Array],
+    log_like_fn: Callable[[Any], Array],
     init_particles: Any,
     *,
     mesh: Mesh,

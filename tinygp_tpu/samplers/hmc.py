@@ -32,7 +32,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import Array
 
 
 def _ravel_spec(example: Any):
@@ -60,19 +60,19 @@ def _ravel_spec(example: Any):
 class HMCState(NamedTuple):
     """Per-chain sampler state (flat position space)."""
 
-    z: JAXArray
-    log_prob: JAXArray
-    grad: JAXArray
+    z: Array
+    log_prob: Array
+    grad: Array
 
 
 class HMCInfo(NamedTuple):
     """Diagnostics emitted by each transition."""
 
-    accept_prob: JAXArray
-    accepted: JAXArray
-    energy: JAXArray
-    num_steps: JAXArray
-    diverging: JAXArray
+    accept_prob: Array
+    accepted: Array
+    energy: Array
+    num_steps: Array
+    diverging: Array
 
 
 def _leapfrog(value_and_grad, z, r, grad, step_size, inv_mass):
@@ -88,7 +88,7 @@ def _kinetic(r, inv_mass):
 
 
 def hmc(
-    log_prob_fn: Callable[[JAXArray], JAXArray],
+    log_prob_fn: Callable[[Array], Array],
     *,
     num_leapfrog: int = 32,
 ):
@@ -99,7 +99,7 @@ def hmc(
     """
     value_and_grad = jax.value_and_grad(log_prob_fn)
 
-    def init_fn(z0: JAXArray) -> HMCState:
+    def init_fn(z0: Array) -> HMCState:
         lp, grad = value_and_grad(z0)
         return HMCState(z=z0, log_prob=lp, grad=grad)
 
@@ -148,22 +148,22 @@ def hmc(
 class _TreeState(NamedTuple):
     """The running trajectory state during iterative doubling."""
 
-    z_left: JAXArray
-    r_left: JAXArray
-    grad_left: JAXArray
-    z_right: JAXArray
-    r_right: JAXArray
-    grad_right: JAXArray
-    z_proposal: JAXArray
-    lp_proposal: JAXArray
-    grad_proposal: JAXArray
-    log_sum_weight: JAXArray
-    sum_r: JAXArray
-    depth: JAXArray
-    turning: JAXArray
-    diverging: JAXArray
-    sum_accept: JAXArray
-    num_steps: JAXArray
+    z_left: Array
+    r_left: Array
+    grad_left: Array
+    z_right: Array
+    r_right: Array
+    grad_right: Array
+    z_proposal: Array
+    lp_proposal: Array
+    grad_proposal: Array
+    log_sum_weight: Array
+    sum_r: Array
+    depth: Array
+    turning: Array
+    diverging: Array
+    sum_accept: Array
+    num_steps: Array
 
 
 def _is_turning(r_left, r_right, sum_r, inv_mass):
@@ -175,7 +175,7 @@ def _is_turning(r_left, r_right, sum_r, inv_mass):
 
 
 def nuts(
-    log_prob_fn: Callable[[JAXArray], JAXArray],
+    log_prob_fn: Callable[[Array], Array],
     *,
     max_tree_depth: int = 8,
     max_delta_energy: float = 1000.0,
@@ -190,7 +190,7 @@ def nuts(
     """
     value_and_grad = jax.value_and_grad(log_prob_fn)
 
-    def init_fn(z0: JAXArray) -> HMCState:
+    def init_fn(z0: Array) -> HMCState:
         lp, grad = value_and_grad(z0)
         return HMCState(z=z0, log_prob=lp, grad=grad)
 
@@ -483,11 +483,11 @@ def nuts(
 
 
 class DualAveragingState(NamedTuple):
-    log_step: JAXArray
-    log_step_avg: JAXArray
-    grad_avg: JAXArray
-    t: JAXArray
-    mu: JAXArray
+    log_step: Array
+    log_step_avg: Array
+    grad_avg: Array
+    t: Array
+    mu: Array
 
 
 def _da_init(step_size):
@@ -519,11 +519,11 @@ def _da_update(state: DualAveragingState, accept_prob, target=0.8):
 class WarmupInfo(NamedTuple):
     """Warmup diagnostics returned by :func:`window_adaptation`."""
 
-    divergences_per_window: JAXArray
+    divergences_per_window: Array
     """Divergent-transition counts, one entry per adaptation window
     (initial fast buffer, each expanding slow window, final fast buffer)."""
 
-    final_accept: JAXArray
+    final_accept: Array
     """Cross-chain mean accept-stat over the final fast buffer — should
     land near ``target_accept`` when adaptation succeeded."""
 
@@ -690,7 +690,7 @@ def window_adaptation(
 
 def run_mcmc(
     key: jax.Array,
-    log_prob_fn: Callable[[Any], JAXArray],
+    log_prob_fn: Callable[[Any], Array],
     init_params: Any,
     *,
     num_chains: int = 4,

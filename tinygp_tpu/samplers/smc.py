@@ -24,26 +24,26 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import Array
 from tinygp_tpu.samplers.hmc import _ravel_spec
 
 
 class SMCResult(NamedTuple):
     particles: Any
     """Posterior particles; equally weighted (the final stage resamples)."""
-    log_weights: JAXArray
+    log_weights: Array
     """Normalized log-weights of ``particles`` — uniform ``-log(n)``."""
-    log_evidence: JAXArray
+    log_evidence: Array
     """Log marginal likelihood estimate from the tempering identity."""
-    betas: JAXArray
+    betas: Array
     """The adaptive temperature ladder, shape ``(max_stages,)``; entries
     beyond ``num_stages`` are NaN. ``betas[num_stages-1] == 1.0``."""
-    acceptance: JAXArray
+    acceptance: Array
     """Mutation-move acceptance rate per stage (NaN beyond the ladder)."""
-    num_stages: JAXArray
+    num_stages: Array
 
 
-def _systematic_resample(key: jax.Array, log_weights: JAXArray) -> JAXArray:
+def _systematic_resample(key: jax.Array, log_weights: Array) -> Array:
     """Systematic resampling: one uniform, N strata. Returns indices."""
     n = log_weights.shape[0]
     w = jax.nn.softmax(log_weights)
@@ -52,12 +52,12 @@ def _systematic_resample(key: jax.Array, log_weights: JAXArray) -> JAXArray:
     return jnp.searchsorted(cdf, u, side="right").clip(0, n - 1)
 
 
-def _ess(log_weights: JAXArray) -> JAXArray:
+def _ess(log_weights: Array) -> Array:
     logw = log_weights - jax.scipy.special.logsumexp(log_weights)
     return jnp.exp(-jax.scipy.special.logsumexp(2.0 * logw))
 
 
-def _next_beta(log_like: JAXArray, beta: JAXArray, target_ess: float):
+def _next_beta(log_like: Array, beta: Array, target_ess: float):
     """Largest temperature increment keeping ESS above the target,
     found with a fixed-depth bisection (static control flow)."""
     n = log_like.shape[0]
@@ -80,8 +80,8 @@ def _next_beta(log_like: JAXArray, beta: JAXArray, target_ess: float):
 
 def run_smc(
     key: jax.Array,
-    log_prior_fn: Callable[[Any], JAXArray],
-    log_like_fn: Callable[[Any], JAXArray],
+    log_prior_fn: Callable[[Any], Array],
+    log_like_fn: Callable[[Any], Array],
     init_particles: Any,
     *,
     num_mutations: int = 5,

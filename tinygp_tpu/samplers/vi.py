@@ -17,22 +17,22 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import Array
 from tinygp_tpu.samplers.hmc import _ravel_spec
 
 
 class ADVIResult(NamedTuple):
     """The fitted mean-field approximation (flat coordinates)."""
 
-    mean: JAXArray
-    log_std: JAXArray
-    elbo_trace: JAXArray
+    mean: Array
+    log_std: Array
+    elbo_trace: Array
     unravel: Any
 
 
 def fit_advi(
     key: jax.Array,
-    log_prob_fn: Callable[[Any], JAXArray],
+    log_prob_fn: Callable[[Any], Array],
     init_params: Any,
     *,
     num_steps: int = 1000,

@@ -10,10 +10,11 @@ The factorization: XLA's native TPU Cholesky runs trailing updates at the
 slow f32-accurate MXU rate (~19 TF/s sustained on v5e vs the ~175 TF/s
 bf16 fast path). For f32 matrices at N >= 4096 this solver instead uses
 :func:`tinygp_tpu.ops.dense.cholesky_with_fallback`: a right-looking
-blocked factorization whose trailing SYRK updates run as three-term-split
-bf16 GEMMs (4 MXU passes, ~6e-8 operand error — f32-grade) with a
-NaN-triggered native re-factorization for borderline-indefinite inputs.
-Set ``blocked=False`` to force the native kernel.
+blocked factorization whose trailing updates run as fused split-bf16
+Pallas kernels, with the split order picked at runtime from the noise
+floor and a NaN-triggered native re-factorization for
+borderline-indefinite inputs. Set ``blocked=False`` to force the native
+kernel. Full analysis: ``docs/rooflines.md``.
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ import numpy as np
 from jax.scipy import linalg
 
 from tinygp_tpu import kernels
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import Array
 from tinygp_tpu.noise import Noise
 from tinygp_tpu.ops.dense import cholesky_with_fallback
 from tinygp_tpu.solvers.solver import Solver
@@ -36,15 +37,15 @@ from tinygp_tpu.solvers.solver import Solver
 class DirectSolver(Solver):
     """Factorize the dense covariance with a Cholesky decomposition."""
 
-    X: JAXArray
-    variance_value: JAXArray
-    covariance_value: JAXArray
-    scale_tril: JAXArray
+    X: Array
+    variance_value: Array
+    covariance_value: Array
+    scale_tril: Array
 
     def __init__(
         self,
         kernel: kernels.Kernel,
-        X: JAXArray,
+        X: Array,
         noise: Noise,
         *,
         covariance: Any | None = None,
@@ -84,29 +85,29 @@ class DirectSolver(Solver):
             scale_tril=scale_tril,
         )
 
-    def variance(self) -> JAXArray:
+    def variance(self) -> Array:
         return self.variance_value
 
-    def covariance(self) -> JAXArray:
+    def covariance(self) -> Array:
         return self.covariance_value
 
-    def normalization(self) -> JAXArray:
+    def normalization(self) -> Array:
         n = self.scale_tril.shape[0]
         half_log2pi = 0.5 * np.log(2.0 * np.pi)
         return jnp.sum(jnp.log(jnp.diag(self.scale_tril))) + n * half_log2pi
 
-    def solve_triangular(self, y: JAXArray, *, transpose: bool = False) -> JAXArray:
+    def solve_triangular(self, y: Array, *, transpose: bool = False) -> Array:
         return linalg.solve_triangular(
             self.scale_tril, y, lower=True, trans=1 if transpose else 0
         )
 
-    def dot_triangular(self, y: JAXArray) -> JAXArray:
+    def dot_triangular(self, y: Array) -> Array:
         return jnp.einsum(
             "ij,j...->i...", self.scale_tril, y, precision="highest"
         )
 
     def condition(
-        self, kernel: kernels.Kernel, X_test: JAXArray | None, noise: Noise
+        self, kernel: kernels.Kernel, X_test: Array | None, noise: Noise
     ) -> Any:
         """Dense conditional covariance ``Kss - A.T @ A``, ``A = L^{-1} Ks``."""
         if X_test is None:

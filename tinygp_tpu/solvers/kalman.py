@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tinygp_tpu.helpers import JAXArray, pdot
+from tinygp_tpu.helpers import Array, pdot
 from tinygp_tpu.kernels.base import Kernel
 from tinygp_tpu.noise import Diagonal, Noise
 from tinygp_tpu.solvers.quasisep.block import ensure_dense
@@ -33,16 +33,16 @@ class KalmanSolver(Solver):
         noise: Must be :class:`tinygp_tpu.noise.Diagonal`.
     """
 
-    X: JAXArray
-    A: JAXArray
-    H: JAXArray
-    s: JAXArray
-    K: JAXArray
+    X: Array
+    A: Array
+    H: Array
+    s: Array
+    K: Array
 
     def __init__(
         self,
         kernel: Kernel,
-        X: JAXArray,
+        X: Array,
         noise: Noise,
         *,
         covariance: Any | None = None,
@@ -70,32 +70,32 @@ class KalmanSolver(Solver):
         s, K = kalman_gains(Pinf, A, H, noise.diag)
         self._init(X=X, A=A, H=H, s=s, K=K)
 
-    def variance(self) -> JAXArray:
+    def variance(self) -> Array:
         raise NotImplementedError
 
-    def covariance(self) -> JAXArray:
+    def covariance(self) -> Array:
         raise NotImplementedError
 
-    def normalization(self) -> JAXArray:
+    def normalization(self) -> Array:
         return 0.5 * jnp.sum(jnp.log(2 * np.pi * self.s))
 
-    def solve_triangular(self, y: JAXArray, *, transpose: bool = False) -> JAXArray:
+    def solve_triangular(self, y: Array, *, transpose: bool = False) -> Array:
         assert not transpose
         return kalman_filter(self.A, self.H, self.K, y) / jnp.sqrt(self.s)
 
-    def dot_triangular(self, y: JAXArray) -> JAXArray:
+    def dot_triangular(self, y: Array) -> Array:
         raise NotImplementedError
 
     def condition(
-        self, kernel: Kernel, X_test: JAXArray | None, noise: Noise
+        self, kernel: Kernel, X_test: Array | None, noise: Noise
     ) -> Any:
         raise NotImplementedError
 
 
 @jax.jit
 def kalman_gains(
-    Pinf: JAXArray, A: JAXArray, H: JAXArray, diag: JAXArray
-) -> tuple[JAXArray, JAXArray]:
+    Pinf: Array, A: Array, H: Array, diag: Array
+) -> tuple[Array, Array]:
     """Innovation variances and gains from the covariance recursion.
 
     Anchoring the recursion at the stationary covariance keeps it stable:
@@ -118,8 +118,8 @@ def kalman_gains(
 
 @jax.jit
 def kalman_filter(
-    A: JAXArray, H: JAXArray, K: JAXArray, y: JAXArray
-) -> JAXArray:
+    A: Array, H: Array, K: Array, y: Array
+) -> Array:
     """Run the mean filter, returning the (unnormalized) innovations."""
 
     def step(m, inputs):

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.scipy.linalg import block_diag
 
-from tinygp_tpu.helpers import JAXArray, pdot
+from tinygp_tpu.helpers import Array, pdot
 from tinygp_tpu.utils.module import Module
 
 
@@ -93,7 +93,7 @@ class Block(Module):
     def mT(self) -> Block:
         return self._map(lambda b: jnp.swapaxes(b, -1, -2))
 
-    def to_dense(self) -> JAXArray:
+    def to_dense(self) -> Array:
         ndim = self.ndim
         assert ndim >= 2
         if ndim == 2:

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import block_diag
 
-from tinygp_tpu.helpers import JAXArray, pdot
+from tinygp_tpu.helpers import Array, pdot
 from tinygp_tpu.solvers.quasisep.block import ensure_dense
 from tinygp_tpu.utils.module import Module
 
@@ -44,7 +44,7 @@ def _matvec_shape(matmul):
     """Normalize the rhs to 2-D inside, restoring the caller's shape after."""
 
     @functools.wraps(matmul)
-    def wrapped(self: Any, x: JAXArray, **kwargs: Any) -> JAXArray:
+    def wrapped(self: Any, x: Array, **kwargs: Any) -> Array:
         shape = x.shape
         result = matmul(self, jnp.reshape(x, (shape[0], -1)), **kwargs)
         return jnp.reshape(result, shape)
@@ -61,11 +61,11 @@ class QSM(Module):
     def transpose(self) -> Any:
         raise NotImplementedError
 
-    def matmul(self, x: JAXArray, *, parallel: bool = False) -> JAXArray:
+    def matmul(self, x: Array, *, parallel: bool = False) -> Array:
         """Dense matvec/matmat product ``self @ x``."""
         raise NotImplementedError
 
-    def scale(self, other: JAXArray) -> QSM:
+    def scale(self, other: Array) -> QSM:
         """Scalar multiple of this matrix, staying quasiseparable."""
         raise NotImplementedError
 
@@ -73,13 +73,13 @@ class QSM(Module):
     def T(self) -> Any:
         return self.transpose()
 
-    def to_dense(self) -> JAXArray:
+    def to_dense(self) -> Array:
         """Materialize (testing only: O(N^2) memory)."""
         return self.matmul(jnp.eye(self.shape[0]))
 
     @property
     def shape(self) -> tuple[int, int]:
-        n = self.diag.shape[0]  # type: ignore[attr-defined]
+        n = jax.tree_util.tree_leaves(self)[0].shape[0]
         return (n, n)
 
     def __add__(self, other: Any) -> Any:
@@ -122,22 +122,17 @@ class DiagQSM(QSM):
         d (n,): The diagonal entries.
     """
 
-    d: JAXArray
-
-    @property
-    def shape(self) -> tuple[int, int]:
-        n = self.d.shape[0]
-        return (n, n)
+    d: Array
 
     def transpose(self) -> DiagQSM:
         return self
 
     @_matvec_shape
-    def matmul(self, x: JAXArray, *, parallel: bool = False) -> JAXArray:
+    def matmul(self, x: Array, *, parallel: bool = False) -> Array:
         del parallel
         return self.d[:, None] * x
 
-    def scale(self, other: JAXArray) -> DiagQSM:
+    def scale(self, other: Array) -> DiagQSM:
         return DiagQSM(d=self.d * other)
 
     def self_add(self, other: DiagQSM) -> DiagQSM:
@@ -159,25 +154,20 @@ class StrictLowerTriQSM(QSM):
         a (n, m, m): Transition matrices.
     """
 
-    p: JAXArray
-    q: JAXArray
-    a: JAXArray
-
-    @property
-    def shape(self) -> tuple[int, int]:
-        n = self.p.shape[0]
-        return (n, n)
+    p: Array
+    q: Array
+    a: Array
 
     def transpose(self) -> StrictUpperTriQSM:
         return StrictUpperTriQSM(p=self.p, q=self.q, a=self.a)
 
     @_matvec_shape
-    def matmul(self, x: JAXArray, *, parallel: bool = False) -> JAXArray:
+    def matmul(self, x: Array, *, parallel: bool = False) -> Array:
         from tinygp_tpu.solvers.quasisep.ops import strict_lower_matmul
 
         return strict_lower_matmul(self.p, self.q, self.a, x, parallel=parallel)
 
-    def scale(self, other: JAXArray) -> StrictLowerTriQSM:
+    def scale(self, other: Array) -> StrictLowerTriQSM:
         return StrictLowerTriQSM(p=self.p * other, q=self.q, a=self.a)
 
     def self_add(self, other: StrictLowerTriQSM) -> StrictLowerTriQSM:
@@ -221,25 +211,20 @@ class StrictUpperTriQSM(QSM):
     fields, transposed semantics), so ``lower.transpose()`` is free.
     """
 
-    p: JAXArray
-    q: JAXArray
-    a: JAXArray
-
-    @property
-    def shape(self) -> tuple[int, int]:
-        n = self.p.shape[0]
-        return (n, n)
+    p: Array
+    q: Array
+    a: Array
 
     def transpose(self) -> StrictLowerTriQSM:
         return StrictLowerTriQSM(p=self.p, q=self.q, a=self.a)
 
     @_matvec_shape
-    def matmul(self, x: JAXArray, *, parallel: bool = False) -> JAXArray:
+    def matmul(self, x: Array, *, parallel: bool = False) -> Array:
         from tinygp_tpu.solvers.quasisep.ops import strict_upper_matmul
 
         return strict_upper_matmul(self.p, self.q, self.a, x, parallel=parallel)
 
-    def scale(self, other: JAXArray) -> StrictUpperTriQSM:
+    def scale(self, other: Array) -> StrictUpperTriQSM:
         return StrictUpperTriQSM(p=self.p, q=self.q * other, a=self.a)
 
     def self_add(self, other: StrictUpperTriQSM) -> StrictUpperTriQSM:
@@ -262,10 +247,10 @@ class LowerTriQSM(QSM):
         return UpperTriQSM(diag=self.diag, upper=self.lower.transpose())
 
     @_matvec_shape
-    def matmul(self, x: JAXArray, *, parallel: bool = False) -> JAXArray:
+    def matmul(self, x: Array, *, parallel: bool = False) -> Array:
         return self.diag.matmul(x) + self.lower.matmul(x, parallel=parallel)
 
-    def scale(self, other: JAXArray) -> LowerTriQSM:
+    def scale(self, other: Array) -> LowerTriQSM:
         return LowerTriQSM(
             diag=self.diag.scale(other), lower=self.lower.scale(other)
         )
@@ -289,7 +274,7 @@ class LowerTriQSM(QSM):
         )
 
     @_matvec_shape
-    def solve(self, y: JAXArray, *, parallel: bool = False) -> JAXArray:
+    def solve(self, y: Array, *, parallel: bool = False) -> Array:
         """Forward substitution: solve ``L @ x = y``."""
         from tinygp_tpu.solvers.quasisep.ops import lower_triangular_solve
 
@@ -312,10 +297,10 @@ class UpperTriQSM(QSM):
         return LowerTriQSM(diag=self.diag, lower=self.upper.transpose())
 
     @_matvec_shape
-    def matmul(self, x: JAXArray, *, parallel: bool = False) -> JAXArray:
+    def matmul(self, x: Array, *, parallel: bool = False) -> Array:
         return self.diag.matmul(x) + self.upper.matmul(x, parallel=parallel)
 
-    def scale(self, other: JAXArray) -> UpperTriQSM:
+    def scale(self, other: Array) -> UpperTriQSM:
         return UpperTriQSM(
             diag=self.diag.scale(other), upper=self.upper.scale(other)
         )
@@ -324,7 +309,7 @@ class UpperTriQSM(QSM):
         return self.transpose().inv().transpose()
 
     @_matvec_shape
-    def solve(self, y: JAXArray, *, parallel: bool = False) -> JAXArray:
+    def solve(self, y: Array, *, parallel: bool = False) -> Array:
         """Backward substitution: solve ``U @ x = y``."""
         from tinygp_tpu.solvers.quasisep.ops import upper_triangular_solve
 
@@ -352,14 +337,14 @@ class SquareQSM(QSM):
         )
 
     @_matvec_shape
-    def matmul(self, x: JAXArray, *, parallel: bool = False) -> JAXArray:
+    def matmul(self, x: Array, *, parallel: bool = False) -> Array:
         return (
             self.diag.matmul(x)
             + self.lower.matmul(x, parallel=parallel)
             + self.upper.matmul(x, parallel=parallel)
         )
 
-    def scale(self, other: JAXArray) -> SquareQSM:
+    def scale(self, other: Array) -> SquareQSM:
         return SquareQSM(
             diag=self.diag.scale(other),
             lower=self.lower.scale(other),
@@ -441,14 +426,14 @@ class SymmQSM(QSM):
         return self
 
     @_matvec_shape
-    def matmul(self, x: JAXArray, *, parallel: bool = False) -> JAXArray:
+    def matmul(self, x: Array, *, parallel: bool = False) -> Array:
         return (
             self.diag.matmul(x)
             + self.lower.matmul(x, parallel=parallel)
             + self.lower.transpose().matmul(x, parallel=parallel)
         )
 
-    def scale(self, other: JAXArray) -> SymmQSM:
+    def scale(self, other: Array) -> SymmQSM:
         return SymmQSM(
             diag=self.diag.scale(other), lower=self.lower.scale(other)
         )

@@ -18,14 +18,14 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import Array
 from tinygp_tpu.solvers.quasisep.scan import affine_scan
 from tinygp_tpu.utils.module import Module
 
 
 def _matvec_shape(matmul):
     @functools.wraps(matmul)
-    def wrapped(self: Any, x: JAXArray) -> JAXArray:
+    def wrapped(self: Any, x: Array) -> Array:
         out_shape = (-1,) + x.shape[1:]
         result = matmul(self, jnp.reshape(x, (x.shape[0], -1)))
         return jnp.reshape(result, out_shape)
@@ -48,12 +48,12 @@ class GeneralQSM(Module):
             (-1 when the row precedes every column).
     """
 
-    pl: JAXArray
-    ql: JAXArray
-    pu: JAXArray
-    qu: JAXArray
-    a: JAXArray
-    idx: JAXArray
+    pl: Array
+    ql: Array
+    pu: Array
+    qu: Array
+    a: Array
+    idx: Array
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -61,7 +61,7 @@ class GeneralQSM(Module):
 
     @jax.jit
     @_matvec_shape
-    def matmul(self, x: JAXArray) -> JAXArray:
+    def matmul(self, x: Array) -> Array:
         """``self @ x`` via one forward and one backward scan over columns."""
         n2 = self.ql.shape[0]
 

@@ -38,7 +38,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from tinygp_tpu.helpers import JAXArray, pdot
+from tinygp_tpu.helpers import Array, pdot
 from tinygp_tpu.solvers.quasisep.block import ensure_dense
 from tinygp_tpu.solvers.quasisep.scan import (
     affine_scan,
@@ -53,12 +53,12 @@ from tinygp_tpu.solvers.quasisep.scan import (
 # ---------------------------------------------------------------------------
 
 
-def _outer_rows(u: JAXArray, x: JAXArray) -> JAXArray:
+def _outer_rows(u: Array, x: Array) -> Array:
     """Per-row outer products: (n, m) x (n, r) -> (n, m, r)."""
     return jnp.einsum("nj,nk->njk", u, x, precision="highest")
 
 
-def _contract_rows(u: JAXArray, e: JAXArray) -> JAXArray:
+def _contract_rows(u: Array, e: Array) -> Array:
     """Per-row contractions: (n, m) x (n, m, r) -> (n, r)."""
     return jnp.einsum("nj,njk->nk", u, e, precision="highest")
 

@@ -51,7 +51,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
-from tinygp_tpu.helpers import JAXArray, pdot
+from tinygp_tpu.helpers import Array, pdot
 
 # Sequential steps per level of the blocked scan. Each step is batched over
 # N/_BLOCK lanes, so bigger blocks mean fewer lanes but less recursion.
@@ -204,13 +204,13 @@ def monoid_scan(combine, identity, elems, *, reverse: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _pack3(a: JAXArray) -> JAXArray:
+def _pack3(a: Array) -> Array:
     """(N, m, k) -> stacked (m*k, N)."""
     m, k = a.shape[-2], a.shape[-1]
     return jnp.transpose(a, (1, 2, 0)).reshape(m * k, a.shape[0])
 
 
-def _unpack3(s: JAXArray, m: int, k: int) -> JAXArray:
+def _unpack3(s: Array, m: int, k: int) -> Array:
     """Stacked (m*k, N) -> (N, m, k)."""
     return jnp.transpose(s.reshape(m, k, s.shape[-1]), (2, 0, 1))
 
@@ -270,7 +270,7 @@ def _souter(u, v):
     )
 
 
-def _seye(m: int, dtype) -> JAXArray:
+def _seye(m: int, dtype) -> Array:
     """Stacked identity with a broadcastable singleton lane axis."""
     return jnp.eye(m, dtype=dtype).reshape(m * m, 1)
 
@@ -347,8 +347,8 @@ def _affine_scan_s(As, Bs, m, r, *, reverse: bool, exclusive: bool):
 
 
 def _affine_impl(
-    A: JAXArray, B: JAXArray, *, reverse: bool, exclusive: bool
-) -> JAXArray:
+    A: Array, B: Array, *, reverse: bool, exclusive: bool
+) -> Array:
     m, r = B.shape[-2], B.shape[-1]
     e = _affine_scan_s(
         _pack3(A), _pack3(B), m, r, reverse=reverse, exclusive=exclusive
@@ -356,7 +356,7 @@ def _affine_impl(
     return _unpack3(e, m, r)
 
 
-def _sshift_lane(X: JAXArray, fill: JAXArray, reverse: bool) -> JAXArray:
+def _sshift_lane(X: Array, fill: Array, reverse: bool) -> Array:
     """Shift stacked leaves one step along the lane axis, filling the end."""
     fill = jnp.broadcast_to(fill, X.shape[:-1] + (1,))
     if reverse:
@@ -423,13 +423,13 @@ _AFFINE_PARALLEL = {
 
 
 def affine_scan(
-    A: JAXArray,
-    B: JAXArray,
+    A: Array,
+    B: Array,
     *,
     reverse: bool = False,
     parallel: bool = True,
     exclusive: bool = True,
-) -> JAXArray:
+) -> Array:
     """Prefix states of the affine recurrence ``g_k = A_k g_prev + B_k``.
 
     Args:
@@ -488,7 +488,7 @@ def _congruence_scan_s(As, Bs, m, *, reverse: bool):
     return e
 
 
-def _congruence_impl(A: JAXArray, B: JAXArray, *, reverse: bool) -> JAXArray:
+def _congruence_impl(A: Array, B: Array, *, reverse: bool) -> Array:
     m = A.shape[-1]
     e = _congruence_scan_s(_pack3(A), _pack3(B), m, reverse=reverse)
     return _unpack3(e, m, m)
@@ -537,12 +537,12 @@ _CONGRUENCE_PARALLEL = {
 
 
 def congruence_scan(
-    A: JAXArray,
-    B: JAXArray,
+    A: Array,
+    B: Array,
     *,
     reverse: bool = False,
     parallel: bool = True,
-) -> JAXArray:
+) -> Array:
     """Exclusive prefix of the congruence recurrence ``g_k = A_k g A_k^T + B_k``.
 
     Propagates a symmetric matrix carry (e.g. the backward pass of the
@@ -573,13 +573,13 @@ def congruence_scan(
 
 
 def riccati_scan(
-    d: JAXArray,
-    p: JAXArray,
-    q: JAXArray,
-    a: JAXArray,
+    d: Array,
+    p: Array,
+    q: Array,
+    a: Array,
     *,
     parallel: bool = True,
-) -> JAXArray:
+) -> Array:
     """Exclusive prefix of the symmetric Riccati covariance flow.
 
     Propagates ``F_0 = 0`` through::
@@ -729,7 +729,7 @@ def _riccati_parallel_bwd(res, Ybar):
 _riccati_parallel.defvjp(_riccati_parallel_fwd, _riccati_parallel_bwd)
 
 
-def _dense_transitions(A: JAXArray) -> JAXArray:
+def _dense_transitions(A: Array) -> Array:
     """Densify lazily block-diagonal transitions for the parallel strategy.
 
     The blocked monoid scan composes transition products whose intermediate

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import Array
 from tinygp_tpu.kernels.base import Kernel
 from tinygp_tpu.noise import Noise
 from tinygp_tpu.solvers.quasisep.core import DiagQSM, LowerTriQSM, SymmQSM
@@ -61,7 +61,7 @@ class QuasisepSolver(Solver):
     (``/root/reference/docs/troubleshooting.md:12-37``).
     """
 
-    X: JAXArray
+    X: Array
     matrix: SymmQSM
     factor: LowerTriQSM
     parallel: bool = static_field()
@@ -69,7 +69,7 @@ class QuasisepSolver(Solver):
     def __init__(
         self,
         kernel: Kernel,
-        X: JAXArray,
+        X: Array,
         noise: Noise,
         *,
         covariance: Any | None = None,
@@ -95,26 +95,26 @@ class QuasisepSolver(Solver):
             factor=matrix.cholesky(parallel=parallel),
         )
 
-    def variance(self) -> JAXArray:
+    def variance(self) -> Array:
         return self.matrix.diag.d
 
-    def covariance(self) -> JAXArray:
+    def covariance(self) -> Array:
         return self.matrix.to_dense()
 
-    def normalization(self) -> JAXArray:
+    def normalization(self) -> Array:
         n = self.factor.shape[0]
         return jnp.sum(jnp.log(self.factor.diag.d)) + 0.5 * n * np.log(2 * np.pi)
 
-    def solve_triangular(self, y: JAXArray, *, transpose: bool = False) -> JAXArray:
+    def solve_triangular(self, y: Array, *, transpose: bool = False) -> Array:
         if transpose:
             return self.factor.transpose().solve(y, parallel=self.parallel)
         return self.factor.solve(y, parallel=self.parallel)
 
-    def dot_triangular(self, y: JAXArray) -> JAXArray:
+    def dot_triangular(self, y: Array) -> Array:
         return self.factor.matmul(y, parallel=self.parallel)
 
     def condition(
-        self, kernel: Kernel, X_test: JAXArray | None, noise: Noise
+        self, kernel: Kernel, X_test: Array | None, noise: Noise
     ) -> Any:
         """Conditional covariance.
 
@@ -139,7 +139,7 @@ class QuasisepSolver(Solver):
         return Kss - A.T @ A
 
 
-def _guard_sorted(matrix: SymmQSM, coords: JAXArray) -> SymmQSM:
+def _guard_sorted(matrix: SymmQSM, coords: Array) -> SymmQSM:
     """Enforce sorted inputs without host callbacks.
 
     Concrete inputs raise immediately. Traced inputs poison the diagonal

@@ -12,7 +12,7 @@ __all__ = ["Solver"]
 
 from typing import Any
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import Array
 from tinygp_tpu.kernels.base import Kernel
 from tinygp_tpu.noise import Noise
 from tinygp_tpu.utils.module import Module
@@ -22,7 +22,7 @@ class Solver(Module):
     def __init__(
         self,
         kernel: Kernel,
-        X: JAXArray,
+        X: Array,
         noise: Noise,
         *,
         covariance: Any | None = None,
@@ -34,7 +34,7 @@ class Solver(Module):
     def init(
         cls,
         kernel: Kernel,
-        X: JAXArray,
+        X: Array,
         noise: Noise,
         *,
         covariance: Any | None = None,
@@ -42,28 +42,28 @@ class Solver(Module):
         """Backwards-compatible constructor alias."""
         return cls(kernel, X, noise, covariance=covariance)
 
-    def variance(self) -> JAXArray:
+    def variance(self) -> Array:
         """The diagonal of the covariance matrix."""
         raise NotImplementedError
 
-    def covariance(self) -> JAXArray:
+    def covariance(self) -> Array:
         """The full covariance matrix (may be dense; use sparingly)."""
         raise NotImplementedError
 
-    def normalization(self) -> JAXArray:
+    def normalization(self) -> Array:
         """``log|L| + (N/2) log(2 pi)`` for the factor ``L``."""
         raise NotImplementedError
 
-    def solve_triangular(self, y: JAXArray, *, transpose: bool = False) -> JAXArray:
+    def solve_triangular(self, y: Array, *, transpose: bool = False) -> Array:
         """Solve ``L @ x = y`` (or ``L.T @ x = y`` when ``transpose``)."""
         raise NotImplementedError
 
-    def dot_triangular(self, y: JAXArray) -> JAXArray:
+    def dot_triangular(self, y: Array) -> Array:
         """Compute ``L @ y``."""
         raise NotImplementedError
 
     def condition(
-        self, kernel: Kernel, X_test: JAXArray | None, noise: Noise
+        self, kernel: Kernel, X_test: Array | None, noise: Noise
     ) -> Any:
         """The covariance of the process conditioned on the data."""
         raise NotImplementedError

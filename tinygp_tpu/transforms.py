@@ -14,7 +14,7 @@ from typing import Any
 import jax.numpy as jnp
 from jax.scipy import linalg
 
-from tinygp_tpu.helpers import JAXArray
+from tinygp_tpu.helpers import Array
 from tinygp_tpu.kernels.base import Kernel
 from tinygp_tpu.utils.module import static_field
 
@@ -30,7 +30,7 @@ class Transform(Kernel):
     transform: Callable[[Any], Any] = static_field()
     kernel: Kernel
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def evaluate(self, X1: Array, X2: Array) -> Array:
         return self.kernel.evaluate(self.transform(X1), self.transform(X2))
 
 
@@ -43,10 +43,10 @@ class Linear(Kernel):
         kernel: The kernel evaluated in the transformed space.
     """
 
-    scale: JAXArray
+    scale: Array
     kernel: Kernel
 
-    def _apply(self, X: JAXArray) -> JAXArray:
+    def _apply(self, X: Array) -> Array:
         ndim = jnp.ndim(self.scale)
         if ndim < 2:
             return self.scale * X
@@ -54,7 +54,7 @@ class Linear(Kernel):
             return jnp.dot(self.scale, X)
         raise ValueError("'scale' must be 0-, 1-, or 2-dimensional")
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def evaluate(self, X1: Array, X2: Array) -> Array:
         return self.kernel.evaluate(self._apply(X1), self._apply(X2))
 
 
@@ -68,10 +68,10 @@ class Cholesky(Kernel):
         kernel: The kernel evaluated in the transformed space.
     """
 
-    factor: JAXArray
+    factor: Array
     kernel: Kernel
 
-    def _apply(self, X: JAXArray) -> JAXArray:
+    def _apply(self, X: Array) -> Array:
         ndim = jnp.ndim(self.factor)
         if ndim < 2:
             return X / self.factor
@@ -79,12 +79,12 @@ class Cholesky(Kernel):
             return linalg.solve_triangular(self.factor, X, lower=True)
         raise ValueError("'factor' must be 0-, 1-, or 2-dimensional")
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def evaluate(self, X1: Array, X2: Array) -> Array:
         return self.kernel.evaluate(self._apply(X1), self._apply(X2))
 
     @classmethod
     def from_parameters(
-        cls, diagonal: JAXArray, off_diagonal: JAXArray, kernel: Kernel
+        cls, diagonal: Array, off_diagonal: Array, kernel: Kernel
     ) -> Cholesky:
         """Build from an unconstrained (diagonal, strictly-lower) packing.
 
@@ -117,5 +117,5 @@ class Subspace(Kernel):
     axis: Sequence[int] | int = static_field()
     kernel: Kernel
 
-    def evaluate(self, X1: JAXArray, X2: JAXArray) -> JAXArray:
+    def evaluate(self, X1: Array, X2: Array) -> Array:
         return self.kernel.evaluate(X1[self.axis], X2[self.axis])
