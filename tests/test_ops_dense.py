@@ -159,6 +159,21 @@ def test_blocked_cholesky_custom_vjp_matches_native():
     )
 
 
+def test_chol_inv_block_kernel():
+    # The fused diagonal-block kernel (not on the default path — see the
+    # negative result in docs/rooflines.md — but part of the public ops).
+    from tinygp_tpu.ops.pallas_dense import chol_inv_block
+
+    rng = np.random.default_rng(13)
+    b = 256
+    A = rng.normal(size=(b, b)).astype(np.float32) / np.sqrt(b)
+    K = A @ A.T + np.eye(b, dtype=np.float32)
+    L, Linv = chol_inv_block(jnp.asarray(K), interpret=True)
+    Lx = np.linalg.cholesky(K.astype(np.float64))
+    assert np.max(np.abs(np.asarray(L) - Lx)) / np.max(np.abs(Lx)) < 1e-5
+    assert np.max(np.abs(np.asarray(Linv) @ Lx - np.eye(b))) < 1e-4
+
+
 def test_blocked_cholesky_small_fallback():
     rng = np.random.default_rng(6)
     N = 64

@@ -218,7 +218,6 @@ def _blocked_cholesky_impl(K: Array, block: int, terms: int) -> Array:
         )
     m = K.shape[0]
     nb = m // block
-    eye = jnp.eye(block, dtype=K.dtype)
     # The fused Pallas kernels tile at 256 when the panel width allows.
     tile = 256 if block % 256 == 0 else block
 
@@ -229,6 +228,7 @@ def _blocked_cholesky_impl(K: Array, block: int, terms: int) -> Array:
     # ONE concatenate at the end — a dynamic_update_slice chain into a
     # full-size L is NOT done in place by XLA here and costs a full-matrix
     # copy per panel (measured: ~15 ms at N=1e4).
+    eye = jnp.eye(block, dtype=K.dtype)
     T = K
     cols = []
     for k in range(nb):
@@ -236,20 +236,25 @@ def _blocked_cholesky_impl(K: Array, block: int, terms: int) -> Array:
         A11 = lax.dynamic_slice(T, (lo, lo), (block, block))
         # symmetrize_input=False: beyond the first panel, T only carries a
         # valid lower triangle (the fused SYRK skips the mirror tiles), and
-        # the factorization never needs more.
+        # the factorization never needs more. (A fused Pallas
+        # chol-plus-inverse for this step exists — pallas_dense.
+        # chol_inv_block — but measured ~1.3 ms SLOWER over the whole
+        # factorization than this native pair, whose launch latency it was
+        # meant to hide; the masked-reduction inner loops don't pay off.)
         L11 = lax.linalg.cholesky(A11, symmetrize_input=False)
         if k + 1 < nb:
-            # Panel: L21 = A21 inv(L11)^T as a fused split GEMM against
-            # the explicit triangular inverse (the B^3/2 extra flops are
-            # noise). Panel accuracy feeds every later Schur complement,
-            # so it uses the same split order as the trailing updates.
             L11invT = jax.scipy.linalg.solve_triangular(
                 L11, eye, lower=True
             ).T
             hi = lo + block
-            A21 = lax.dynamic_slice(T, (hi, lo), (m - hi, block))
+            # Panel: L21 = A21 inv(L11)^T as a fused split GEMM, with A21
+            # read straight out of T through the block maps — no sliced
+            # copies materialize. Panel accuracy feeds every later Schur
+            # complement, so it uses the same split order as the trailing
+            # updates.
             L21 = pallas_dense.split_panel_matmul(
-                A21, L11invT, tile=tile, terms=terms
+                T, L11invT, tile=tile, terms=terms, at=(hi, lo),
+                rows=m - hi,
             )
             T = pallas_dense.syrk_sub_inplace(
                 T, L21, offset=hi, tile=tile, terms=terms
