@@ -18,7 +18,10 @@ Run: python benchmarks/scaling.py  (writes benchmarks/scaling.json)
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
@@ -42,7 +45,7 @@ def _best_of(fn, reps=3):
     return best
 
 
-def chain_parallel_nuts(devices_list, chains_per_device=8):
+def chain_parallel_nuts(devices_list, chains_per_device=64):
     """Weak scaling: chains grow with the mesh; per-device work constant."""
     from jax.sharding import Mesh
 
@@ -108,13 +111,9 @@ def main():
 
     nuts = chain_parallel_nuts(devices_list)
     results["nuts_weak_s"] = nuts
-    results["nuts_overhead"] = {
-        d: nuts[d] / nuts[1] for d in devices_list
-    }
 
     scan = sequence_parallel_scan(devices_list)
     results["scan_weak_s"] = scan
-    results["scan_overhead"] = {d: scan[d] / scan[1] for d in devices_list}
 
     # On a shared-core host, ideal weak scaling shows time growing ~linearly
     # with total work; the overhead metric divides that out.
@@ -125,8 +124,11 @@ def main():
         "overhead (reported) is the scaling-relevant quantity, not wall "
         "time. Efficiency on real chips ~= work_scaling / time_scaling."
     )
-    # Efficiency proxy: with d x the work on the same cores, perfect
-    # partitioning costs d x the time; extra is sharding overhead.
+    # Efficiency proxy: with d x the work on the same shared cores,
+    # perfect partitioning costs d x the single-device time; the ratio
+    # (d * t1) / t_d is the weak-scaling efficiency analog (capped at 1
+    # in interpretation — above 1 means fixed costs still dominate and
+    # the config must grow).
     results["nuts_efficiency_proxy"] = {
         d: (d * nuts[1]) / nuts[d] for d in devices_list
     }

@@ -34,7 +34,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tinygp_tpu.helpers import Array
@@ -253,6 +253,6 @@ def sharded_loglik(
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(X, y, diag)

@@ -27,7 +27,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tinygp_tpu.helpers import Array
 from tinygp_tpu.parallel.mesh import chain_axis, local_chunk
@@ -135,7 +135,7 @@ def run_mcmc_sharded(
         mesh=mesh,
         in_specs=(spec_chain, spec_chain),
         out_specs=(P(None, axis), P(None, axis), P(None, axis)),
-        check_rep=False,
+        check_vma=False,
     )
     zs, accs, steps = jax.jit(sharded)(z_chains, chain_keys)
     samples = jax.vmap(jax.vmap(unravel))(zs)
@@ -282,7 +282,7 @@ def run_smc_sharded(
         mesh=mesh,
         in_specs=(P(), P(axis)),
         out_specs=(P(axis), P(), P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     zs, log_Z, k, betas, accs = jax.jit(sharded)(key, zs0)
     return {
