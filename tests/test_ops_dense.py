@@ -166,8 +166,8 @@ def test_chol_inv_block_kernel():
 
     rng = np.random.default_rng(13)
     b = 256
-    A = rng.normal(size=(b, b)).astype(np.float32) / np.sqrt(b)
-    K = A @ A.T + np.eye(b, dtype=np.float32)
+    A = (rng.normal(size=(b, b)) / np.sqrt(b)).astype(np.float32)
+    K = (A @ A.T + np.eye(b, dtype=np.float32)).astype(np.float32)
     L, Linv = chol_inv_block(jnp.asarray(K), interpret=True)
     Lx = np.linalg.cholesky(K.astype(np.float64))
     assert np.max(np.abs(np.asarray(L) - Lx)) / np.max(np.abs(Lx)) < 1e-5

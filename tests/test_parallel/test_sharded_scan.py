@@ -27,7 +27,7 @@ def data():
     # Small N: correctness only depends on the shard/combine topology, and
     # the CPU compile of the sharded VJP dominates the suite's wall time.
     rng = np.random.default_rng(86)
-    N = 512
+    N = 256
     X = jnp.asarray(np.sort(rng.uniform(0, 10, N)))
     y = jnp.asarray(rng.normal(size=N))
     return X, y
@@ -86,4 +86,4 @@ def test_sharded_loglik_rejects_uneven(mesh, data):
     X, y = data
     kernel = quasisep.Matern32(scale=1.0)
     with pytest.raises(ValueError, match="divide evenly"):
-        sharded_loglik(kernel, X[:501], y[:501], diag=0.1, mesh=mesh)
+        sharded_loglik(kernel, X[:251], y[:251], diag=0.1, mesh=mesh)

@@ -19,7 +19,7 @@ from tinygp_tpu.samplers import run_mcmc, run_smc
 
 # -- the posterior ---------------------------------------------------------
 
-N = 48
+N = 40
 _rng = np.random.default_rng(42)
 _X = np.sort(_rng.uniform(0, 10, N))
 _true = {"amp": 1.2, "scale": 1.8, "noise": 0.25}
@@ -68,9 +68,9 @@ def test_nuts_and_smc_agree_on_gp_posterior():
         log_posterior,
         PARAMS0,
         num_chains=256,
-        num_warmup=300,
-        num_samples=150,
-        max_tree_depth=6,
+        num_warmup=250,
+        num_samples=128,
+        max_tree_depth=5,
         jitter_init=0.5,
         steps_per_dispatch=None,
     )

@@ -63,7 +63,12 @@ def test_cross_solver_consistency(pair, data, request):
     key = jax.random.PRNGKey(11)
     assert_allclose(gp_q.sample(key, (5,)), gp_d.sample(key, (5,)))
 
-    if "m52" in request.node.name or "exp" in request.node.name:
+    if "m32" not in request.node.name:
+        # The conditioning-graph compile is the single most expensive
+        # compile the CPU CI does (~400 s for whichever kernel goes
+        # first); it is kernel-independent machinery, so one kernel
+        # carries it here. Sum/Block-specific conditioning is covered by
+        # test_block.py and the non-reversible suite.
         return
 
     # conditioning at train points and at new points

@@ -192,7 +192,8 @@ class Quasisep(Kernel):
     def __add__(self, other: Kernel | Array) -> Kernel:
         if not isinstance(other, Quasisep):
             raise ValueError(
-                "Quasisep kernels can only be added to other Quasisep kernels"
+                "adding a non-quasiseparable term would lose the O(N) structure; "
+                "build a dense kernel instead"
             )
         return Sum(self, other)
 
@@ -201,7 +202,8 @@ class Quasisep(Kernel):
             return self
         if not isinstance(other, Quasisep):
             raise ValueError(
-                "Quasisep kernels can only be added to other Quasisep kernels"
+                "adding a non-quasiseparable term would lose the O(N) structure; "
+                "build a dense kernel instead"
             )
         return Sum(other, self)
 

@@ -1,5 +1,21 @@
-"""Dense linear-algebra kernels tiled for the TPU MXU."""
+"""Dense linear-algebra kernels tiled for the TPU MXU.
 
-from tinygp_tpu.ops.dense import blocked_cholesky, split_matmul
+``dense`` drives the blocked split-precision Cholesky;
+``pallas_dense`` holds the fused Pallas kernels underneath it;
+``pallas_gram`` is the tiled kernel-matrix builder. Measured analyses
+live in ``docs/rooflines.md``.
+"""
 
-__all__ = ["blocked_cholesky", "split_matmul"]
+from tinygp_tpu.ops.dense import (
+    blocked_cholesky,
+    cholesky_with_fallback,
+    split_matmul,
+    split_syrk,
+)
+
+__all__ = [
+    "blocked_cholesky",
+    "cholesky_with_fallback",
+    "split_matmul",
+    "split_syrk",
+]

@@ -369,6 +369,7 @@ def chol_inv_block(
     round-trips between the steps. Replaces a native Cholesky + TRSM pair
     whose launch latency dominates the factorization's serial chain.
     """
+    assert A.dtype == jnp.float32, "chol_inv_block is f32-only"
     if at is None:
         at = (0, 0)
         size = A.shape[0]

@@ -65,8 +65,15 @@ _SEQ_CUTOFF = 128
 _ASSOC_CUTOFF = 8192
 # Loop unrolling for the per-level sequential scans: while-loop iterations
 # on TPU carry fixed dispatch/slice overhead, so folding several combines
-# into each iteration is nearly free throughput.
+# into each iteration is nearly free throughput. On CPU (the test suite)
+# unrolling only multiplies XLA's compile time by the unroll factor — the
+# conditioning-graph compiles dominated the suite's wall clock — so it is
+# applied on accelerators only.
 _UNROLL = 8
+
+
+def _unroll() -> int:
+    return 1 if jax.default_backend() == "cpu" else _UNROLL
 
 
 # ---------------------------------------------------------------------------
@@ -114,7 +121,7 @@ def monoid_scan(combine, identity, elems, *, reverse: bool = False):
             return new, carry
 
         total, excl = jax.lax.scan(
-            step, ident, elems_front, reverse=reverse, unroll=_UNROLL
+            step, ident, elems_front, reverse=reverse, unroll=_unroll()
         )
         return excl, total
 
