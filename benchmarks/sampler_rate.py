@@ -1,4 +1,19 @@
-import sys, json; sys.path.insert(0, ".")  # run from /root/repo
+"""Sampling-phase samples/s for HMC and NUTS vs the leapfrog ceiling.
+
+Times K=10 transitions per chained-in-jit program on the 1024-chain SHO
+GP posterior (N=512) at a fixed, well-tuned step size — isolating the
+transition kernels from warmup and host dispatch. The HMC number divided
+into (chains / (num_leapfrog x batched-gradient-time)) is the
+speed-of-light check; NUTS pays the vmap straggler tax on top
+(docs/rooflines.md §3).
+
+Run from /root/repo: python benchmarks/sampler_rate.py
+"""
+
+import json
+import sys
+
+sys.path.insert(0, ".")
 import jax, jax.numpy as jnp, numpy as np
 from bench import device_seconds_per_eval
 from tinygp_tpu import GaussianProcess
@@ -57,3 +72,5 @@ for name, build, kw in [
     print(name, f"{rate:.0f} samples/s", flush=True)
 
 print(json.dumps(out))
+with open("benchmarks/sampler_rate.json", "w") as f:
+    json.dump(out, f, indent=2)
