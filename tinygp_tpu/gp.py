@@ -82,12 +82,7 @@ class GaussianProcess(Module):
         from tinygp_tpu.solvers.quasisep.core import SymmQSM
         from tinygp_tpu.solvers.quasisep.solver import QuasisepSolver
 
-        if isinstance(mean, means.MeanBase):
-            mean_function: means.MeanBase = mean
-        elif mean is None:
-            mean_function = means.Mean(jnp.zeros(()))
-        else:
-            mean_function = means.Mean(mean)
+        mean_function = _as_mean_function(mean)
         if mean_value is None:
             mean_value = jax.vmap(mean_function)(X)
         if jnp.ndim(mean_value) != 1:
@@ -95,10 +90,7 @@ class GaussianProcess(Module):
                 "the mean must evaluate to one scalar per data point; got "
                 f"a {jnp.ndim(mean_value)}-d array"
             )
-
-        if noise is None:
-            diag = _default_diag(mean_value) if diag is None else diag
-            noise = Diagonal(diag=jnp.broadcast_to(diag, mean_value.shape))
+        noise = _as_noise(noise, diag, mean_value)
 
         if solver is None:
             if isinstance(covariance_value, SymmQSM) or isinstance(kernel, Quasisep):
@@ -190,10 +182,7 @@ class GaussianProcess(Module):
         if kernel is None:
             kernel = self.kernel
 
-        if noise is None:
-            diag = _default_diag(mean_value) if diag is None else diag
-            noise = Diagonal(diag=jnp.broadcast_to(diag, mean_value.shape))
-
+        noise = _as_noise(noise, diag, mean_value)
         covariance_value = self.solver.condition(kernel, X_test, noise)
         if X_test is None:
             X_test = self.X
@@ -331,3 +320,19 @@ def _default_diag(reference: Array) -> Array:
     """sqrt(eps) jitter for the active dtype — enough to stabilize most
     Cholesky factorizations without visibly perturbing the model."""
     return jnp.sqrt(jnp.finfo(jnp.result_type(reference)).eps)
+
+
+def _as_mean_function(mean) -> means.MeanBase:
+    """Coerce a constant / callable / MeanBase into a mean function."""
+    if isinstance(mean, means.MeanBase):
+        return mean
+    return means.Mean(jnp.zeros(()) if mean is None else mean)
+
+
+def _as_noise(noise, diag, reference: Array) -> Noise:
+    """Coerce the (noise, diag) pair into a Noise model, defaulting to
+    sqrt(eps) jitter matched to ``reference``'s length and dtype."""
+    if noise is not None:
+        return noise
+    diag = _default_diag(reference) if diag is None else diag
+    return Diagonal(diag=jnp.broadcast_to(diag, reference.shape))

@@ -61,13 +61,39 @@ class QSM(Module):
     def transpose(self) -> Any:
         raise NotImplementedError
 
+    def _terms(self) -> tuple[Any, ...]:
+        """Component matrices whose matvecs sum to this matrix's.
+
+        Leaf types (diagonal, strict triangles) implement ``matmul``
+        directly instead; composites get theirs from this hook.
+        """
+        raise NotImplementedError
+
+    def _map_parts(self, f: Any) -> QSM:
+        """Rebuild a composite with ``f`` applied to each stored part."""
+        import dataclasses
+
+        parts = {
+            fl.name: f(getattr(self, fl.name))
+            for fl in dataclasses.fields(self)
+        }
+        return type(self)(**parts)
+
+    @_matvec_shape
     def matmul(self, x: Array, *, parallel: bool = False) -> Array:
         """Dense matvec/matmat product ``self @ x``."""
-        raise NotImplementedError
+        out = None
+        for term in self._terms():
+            y = term.matmul(x, parallel=parallel)
+            out = y if out is None else out + y
+        return out
 
     def scale(self, other: Array) -> QSM:
         """Scalar multiple of this matrix, staying quasiseparable."""
-        raise NotImplementedError
+        return self._map_parts(lambda part: part.scale(other))
+
+    def __neg__(self) -> QSM:
+        return self._map_parts(lambda part: -part)
 
     @property
     def T(self) -> Any:
@@ -246,14 +272,8 @@ class LowerTriQSM(QSM):
     def transpose(self) -> UpperTriQSM:
         return UpperTriQSM(diag=self.diag, upper=self.lower.transpose())
 
-    @_matvec_shape
-    def matmul(self, x: Array, *, parallel: bool = False) -> Array:
-        return self.diag.matmul(x) + self.lower.matmul(x, parallel=parallel)
-
-    def scale(self, other: Array) -> LowerTriQSM:
-        return LowerTriQSM(
-            diag=self.diag.scale(other), lower=self.lower.scale(other)
-        )
+    def _terms(self):
+        return (self.diag, self.lower)
 
     def inv(self) -> LowerTriQSM:
         """Closed-form inverse: also lower triangular quasiseparable.
@@ -283,9 +303,6 @@ class LowerTriQSM(QSM):
             parallel=parallel,
         )
 
-    def __neg__(self) -> LowerTriQSM:
-        return LowerTriQSM(diag=-self.diag, lower=-self.lower)
-
 
 class UpperTriQSM(QSM):
     """An upper triangular quasiseparable matrix (diagonal + strict upper)."""
@@ -296,14 +313,8 @@ class UpperTriQSM(QSM):
     def transpose(self) -> LowerTriQSM:
         return LowerTriQSM(diag=self.diag, lower=self.upper.transpose())
 
-    @_matvec_shape
-    def matmul(self, x: Array, *, parallel: bool = False) -> Array:
-        return self.diag.matmul(x) + self.upper.matmul(x, parallel=parallel)
-
-    def scale(self, other: Array) -> UpperTriQSM:
-        return UpperTriQSM(
-            diag=self.diag.scale(other), upper=self.upper.scale(other)
-        )
+    def _terms(self):
+        return (self.diag, self.upper)
 
     def inv(self) -> UpperTriQSM:
         return self.transpose().inv().transpose()
@@ -317,9 +328,6 @@ class UpperTriQSM(QSM):
             self.diag.d, self.upper.p, self.upper.q, self.upper.a, y,
             parallel=parallel,
         )
-
-    def __neg__(self) -> UpperTriQSM:
-        return UpperTriQSM(diag=-self.diag, upper=-self.upper)
 
 
 class SquareQSM(QSM):
@@ -336,20 +344,8 @@ class SquareQSM(QSM):
             upper=self.lower.transpose(),
         )
 
-    @_matvec_shape
-    def matmul(self, x: Array, *, parallel: bool = False) -> Array:
-        return (
-            self.diag.matmul(x)
-            + self.lower.matmul(x, parallel=parallel)
-            + self.upper.matmul(x, parallel=parallel)
-        )
-
-    def scale(self, other: Array) -> SquareQSM:
-        return SquareQSM(
-            diag=self.diag.scale(other),
-            lower=self.lower.scale(other),
-            upper=self.upper.scale(other),
-        )
+    def _terms(self):
+        return (self.diag, self.lower, self.upper)
 
     def gram(self) -> SymmQSM:
         """``self.T @ self`` as a symmetric quasiseparable matrix."""
@@ -412,9 +408,6 @@ class SquareQSM(QSM):
             upper=StrictUpperTriQSM(p=u, q=v, a=delta),
         )
 
-    def __neg__(self) -> SquareQSM:
-        return SquareQSM(diag=-self.diag, lower=-self.lower, upper=-self.upper)
-
 
 class SymmQSM(QSM):
     """A symmetric quasiseparable matrix (upper part mirrors the lower)."""
@@ -425,18 +418,8 @@ class SymmQSM(QSM):
     def transpose(self) -> SymmQSM:
         return self
 
-    @_matvec_shape
-    def matmul(self, x: Array, *, parallel: bool = False) -> Array:
-        return (
-            self.diag.matmul(x)
-            + self.lower.matmul(x, parallel=parallel)
-            + self.lower.transpose().matmul(x, parallel=parallel)
-        )
-
-    def scale(self, other: Array) -> SymmQSM:
-        return SymmQSM(
-            diag=self.diag.scale(other), lower=self.lower.scale(other)
-        )
+    def _terms(self):
+        return (self.diag, self.lower, self.lower.transpose())
 
     def inv(self, *, parallel: bool = False) -> SymmQSM:
         """The inverse, which is again symmetric quasiseparable."""
@@ -462,6 +445,3 @@ class SymmQSM(QSM):
             diag=DiagQSM(d=c),
             lower=StrictLowerTriQSM(p=self.lower.p, q=w, a=self.lower.a),
         )
-
-    def __neg__(self) -> SymmQSM:
-        return SymmQSM(diag=-self.diag, lower=-self.lower)
