@@ -1,0 +1,30 @@
+"""Tensor-parallel dense Cholesky vs the single-device factorization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from tinygp_tpu.parallel.dense import cholesky_tp
+
+
+@pytest.mark.parametrize("d,n,block", [(8, 512, 64), (4, 512, 128)])
+def test_matches_single_device(d, n, block):
+    mesh = Mesh(np.asarray(jax.devices()[:d]), ("tp",))
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(n, n)) / np.sqrt(n)
+    K = jnp.asarray(A @ A.T + np.eye(n))
+
+    L = cholesky_tp(K, mesh=mesh, block=block)
+    Lx = jnp.linalg.cholesky(K)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(Lx), atol=1e-8)
+
+    # The result is actually sharded over the mesh.
+    assert len(L.sharding.device_set) == d
+
+
+def test_uneven_raises():
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("tp",))
+    with pytest.raises(ValueError, match="divide evenly"):
+        cholesky_tp(jnp.eye(500), mesh=mesh, block=64)
