@@ -46,6 +46,31 @@ def test_nuts_accept_near_target():
     assert 0.6 < acc < 0.99
 
 
+def test_find_initial_step_size_scales_with_target():
+    from tinygp_tpu.samplers import find_initial_step_size
+    from tinygp_tpu.samplers.hmc import nuts
+
+    def make_states(sd):
+        lp = lambda z: -0.5 * jnp.sum(jnp.square(z / sd))
+        init_fn, _ = nuts(lp)
+        z0 = 0.1 * sd * jax.random.normal(jax.random.PRNGKey(0), (32, 4))
+        return lp, jax.vmap(init_fn)(z0)
+
+    lp, states = make_states(1.0)
+    eps_wide = float(
+        find_initial_step_size(lp, states, jax.random.PRNGKey(1))
+    )
+    lp, states = make_states(0.01)
+    eps_narrow = float(
+        find_initial_step_size(lp, states, jax.random.PRNGKey(1))
+    )
+    # The search lands within an order of magnitude of the posterior scale
+    # and tracks it across two decades.
+    assert 0.05 < eps_wide < 5.0
+    assert 5e-4 < eps_narrow < 5e-2
+    assert eps_narrow < eps_wide / 10
+
+
 def test_warmup_schedule_structure():
     # Long warmup: standard buffers, doubling windows, remainder absorbed.
     init, switches, term = _warmup_schedule(1000)

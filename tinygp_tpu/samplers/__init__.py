@@ -12,6 +12,7 @@ __all__ = [
     "nuts",
     "run_mcmc",
     "window_adaptation",
+    "find_initial_step_size",
     "fit_advi",
     "sample_advi",
     "run_smc",
@@ -26,6 +27,7 @@ from tinygp_tpu.samplers.hmc import (
     HMCInfo,
     HMCState,
     WarmupInfo,
+    find_initial_step_size,
     hmc,
     nuts,
     run_mcmc,

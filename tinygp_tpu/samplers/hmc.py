@@ -22,7 +22,7 @@ TPU-first design:
 
 from __future__ import annotations
 
-__all__ = ["hmc", "nuts", "window_adaptation", "run_mcmc", "WarmupInfo"]
+__all__ = ["hmc", "nuts", "window_adaptation", "run_mcmc", "WarmupInfo", "find_initial_step_size"]
 
 import os
 from collections.abc import Callable
@@ -562,6 +562,48 @@ def _warmup_schedule(num_warmup: int) -> tuple[int, list[int], int]:
     return init_buffer, switch_steps, term_buffer
 
 
+def find_initial_step_size(
+    log_prob_fn: Callable[[Array], Array],
+    states: HMCState,
+    key: jax.Array,
+    *,
+    initial: float = 1.0,
+    max_doublings: int = 20,
+) -> Array:
+    """A reasonable starting step size (Hoffman & Gelman, Algorithm 4).
+
+    Doubles/halves the step until the cross-chain mean accept probability
+    of a single leapfrog step crosses 1/2 — a few cheap device calls that
+    save the dual-averaging loop from spending its first window walking
+    an order of magnitude.
+    """
+    value_and_grad = jax.value_and_grad(log_prob_fn)
+    r0 = jax.random.normal(key, states.z.shape)
+
+    @jax.jit
+    def mean_accept(eps):
+        def one(z, r, lp, grad):
+            _, r1, lp1, _ = _leapfrog(value_and_grad, z, r, grad, eps, 1.0)
+            delta = (lp1 - 0.5 * jnp.sum(r1 * r1)) - (
+                lp - 0.5 * jnp.sum(r * r)
+            )
+            return jnp.exp(jnp.minimum(jnp.where(jnp.isnan(delta), -jnp.inf, delta), 0.0))
+
+        return jnp.mean(
+            jax.vmap(one)(states.z, r0, states.log_prob, states.grad)
+        )
+
+    eps = float(initial)
+    p = float(mean_accept(jnp.asarray(eps, states.z.dtype)))
+    direction = 1.0 if p > 0.5 else -1.0
+    for _ in range(max_doublings):
+        eps = eps * (2.0**direction)
+        p = float(mean_accept(jnp.asarray(eps, states.z.dtype)))
+        if (direction > 0 and p <= 0.5) or (direction < 0 and p >= 0.5):
+            break
+    return jnp.asarray(eps, states.z.dtype)
+
+
 def window_adaptation(
     step_fn,
     *,
@@ -700,7 +742,7 @@ def run_mcmc(
     max_tree_depth: int = 8,
     num_leapfrog: int = 32,
     target_accept: float = 0.8,
-    initial_step_size: float = 0.1,
+    initial_step_size: float | None = 0.1,
     jitter_init: float = 1.0,
     steps_per_dispatch: int | None = 50,
     checkpoint_path: str | None = None,
@@ -746,12 +788,20 @@ def run_mcmc(
     else:
         raise ValueError(f"unknown sampler: {sampler}")
 
-    key_init, key_warm, key_run = jax.random.split(key, 3)
+    key_init, key_warm, key_run, key_eps = jax.random.split(key, 4)
     z0 = ravel(init_params)
     z_chains = z0[None, :] + jitter_init * jax.random.normal(
         key_init, (num_chains, dim)
     )
     states = jax.vmap(init_fn)(z_chains)
+
+    if initial_step_size is None:
+        # Standard coarse search: start dual averaging within a factor of
+        # two of a workable step instead of walking there one window at a
+        # time.
+        initial_step_size = find_initial_step_size(
+            flat_log_prob, states, key_eps
+        )
 
     warm_keys = jax.random.split(key_warm, num_chains)
     adapt = window_adaptation(
