@@ -13,6 +13,9 @@ __all__ = [
     "run_mcmc",
     "window_adaptation",
     "find_initial_step_size",
+    "potential_scale_reduction",
+    "effective_sample_size",
+    "summary",
     "fit_advi",
     "sample_advi",
     "run_smc",
@@ -32,6 +35,11 @@ from tinygp_tpu.samplers.hmc import (
     nuts,
     run_mcmc,
     window_adaptation,
+)
+from tinygp_tpu.samplers.diagnostics import (
+    effective_sample_size,
+    potential_scale_reduction,
+    summary,
 )
 from tinygp_tpu.samplers.smc import SMCResult, run_smc
 from tinygp_tpu.samplers.vi import ADVIResult, fit_advi, sample_advi
