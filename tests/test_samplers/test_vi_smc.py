@@ -35,6 +35,31 @@ def test_advi_gaussian_exact():
     np.testing.assert_allclose(x.mean(0), MU, atol=0.1)
 
 
+def test_advi_full_rank_captures_correlation():
+    # A strongly correlated Gaussian: mean-field cannot represent the
+    # off-diagonal; the full-rank fit must recover it.
+    cov = np.array([[1.0, 0.9], [0.9, 1.0]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def lp(p):
+        return -0.5 * p["x"] @ prec @ p["x"]
+
+    res = fit_advi(
+        jax.random.PRNGKey(3),
+        lp,
+        {"x": jnp.zeros(2)},
+        num_steps=3000,
+        learning_rate=0.02,
+        full_rank=True,
+    )
+    fitted_cov = np.asarray(res.scale_tril @ res.scale_tril.T)
+    np.testing.assert_allclose(fitted_cov, cov, atol=0.15)
+
+    draws = sample_advi(jax.random.PRNGKey(4), res, 8000)
+    emp = np.cov(np.asarray(draws["x"]), rowvar=False)
+    np.testing.assert_allclose(emp, cov, atol=0.2)
+
+
 def test_smc_posterior_and_evidence():
     parts = {"x": 4.0 * jax.random.normal(jax.random.PRNGKey(1), (2048, 2))}
     out = run_smc(jax.random.PRNGKey(2), log_prior, log_prob, parts)

@@ -23,6 +23,7 @@ __all__ = [
     "HMCInfo",
     "WarmupInfo",
     "ADVIResult",
+    "ADVIFullRankResult",
     "SMCResult",
 ]
 
@@ -42,4 +43,9 @@ from tinygp_tpu.samplers.diagnostics import (
     summary,
 )
 from tinygp_tpu.samplers.smc import SMCResult, run_smc
-from tinygp_tpu.samplers.vi import ADVIResult, fit_advi, sample_advi
+from tinygp_tpu.samplers.vi import (
+    ADVIFullRankResult,
+    ADVIResult,
+    fit_advi,
+    sample_advi,
+)
