@@ -82,4 +82,15 @@ print(f"posterior scale = {mean_scale:.2f} +/- {sd_scale:.2f} "
       f"(truth {true_scale}), accept={accept:.2f}")
 assert 0.5 < accept <= 1.0
 assert abs(mean_scale - true_scale) < 4 * sd_scale + 0.5
+
+# --- Convergence diagnostics ----------------------------------------------
+from tinygp_tpu.samplers import summary
+
+diag = summary(samples)
+for name, stats in diag.items():
+    rhat = float(stats["rhat"].max())
+    ess = float(stats["ess"].min())
+    print(f"{name}: rhat={rhat:.3f} ess={ess:.0f}")
+    assert rhat < 1.1, (name, rhat)
+    assert ess > 100, (name, ess)
 print("modeling OK")
