@@ -81,7 +81,9 @@ def _unroll() -> int:
 # ---------------------------------------------------------------------------
 
 
-def monoid_scan(combine, identity, elems, *, reverse: bool = False):
+def monoid_scan(
+    combine, identity, elems, *, reverse: bool = False, pallas_ok: bool = True
+):
     """Exclusive scan of an associative ``combine`` along the LAST axis.
 
     Args:
@@ -152,6 +154,16 @@ def monoid_scan(combine, identity, elems, *, reverse: bool = False):
             return jnp.concatenate([ident, x[..., :-1]], axis=-1)
 
         return jax.tree_util.tree_map(shift, incl, identity)
+
+    # Above the associative cutoff: prefer the single-pass Pallas kernel
+    # (one pass over HBM, no per-step dispatch latency) when the operands
+    # and combine qualify; otherwise run the blocked multi-level strategy.
+    from tinygp_tpu.solvers.quasisep import pallas_scan
+
+    if pallas_ok and pallas_scan.supports(elems):
+        return pallas_scan.pallas_monoid_scan(
+            combine, identity, elems, reverse=reverse
+        )
 
     # Scale the block so the totals level fits one associative-scan level:
     # total sequential depth stays block + log2(n / block) for any n.
@@ -252,9 +264,26 @@ def _smm_t(A, B, m, k, r):
 
 
 def _st(A, m, k):
-    """Stacked transpose: (..., m*k, N) -> (..., k*m, N) row permutation."""
-    perm = np.asarray([i * k + j for j in range(k) for i in range(m)])
-    return jnp.take(A, perm, axis=-2)
+    """Stacked transpose: (..., m*k, N) -> (..., k*m, N) row permutation.
+
+    Static slices + restack (rather than a gather with an index array) so
+    the expression stays legal inside Pallas kernels, which reject
+    non-scalar captured constants.
+    """
+    return jnp.stack(
+        [A[..., i * k + j, :] for j in range(k) for i in range(m)], axis=-2
+    )
+
+
+def _sadd_eye(X, m):
+    """Add the m x m identity to a stacked (..., m*m, N) matrix."""
+    return jnp.stack(
+        [
+            X[..., c, :] + 1.0 if c % (m + 1) == 0 else X[..., c, :]
+            for c in range(m * m)
+        ],
+        axis=-2,
+    )
 
 
 def _smv(M, v, m, k):
@@ -637,12 +666,11 @@ def _riccati_scan_s(d, ps, qs, as_, m):
     A0 = as_ - _souter(qs, ps) * inv_d
     F0 = _souter(qs, qs) * inv_d
     G0 = -_souter(ps, ps) * inv_d
-    eye = _seye(m, ps.dtype)
 
     def combine(earlier, later):
         A_e, F_e, G_e = earlier
         A_l, F_l, G_l = later
-        M = eye + _smm(F_e, G_l, m, m, m)
+        M = _sadd_eye(_smm(F_e, G_l, m, m, m), m)
         A = _smm(A_l, _ssolve(M, A_e, m, m), m, m, m)
         F = F_l + _smm_t(
             _smm(A_l, _ssolve(M, F_e, m, m), m, m, m), A_l, m, m, m
@@ -662,7 +690,11 @@ def _riccati_scan_s(d, ps, qs, as_, m):
         jnp.zeros((m * m, 1), ps.dtype),
         jnp.zeros((m * m, 1), ps.dtype),
     )
-    _, F, _ = monoid_scan(combine, identity, (A0, F0, G0))
+    # The merge's m x m solve only lowers in Mosaic via the closed-form
+    # adjugate branches; larger orders take the blocked XLA strategy.
+    _, F, _ = monoid_scan(
+        combine, identity, (A0, F0, G0), pallas_ok=m <= 3
+    )
     return F
 
 
