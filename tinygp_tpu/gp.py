@@ -93,10 +93,10 @@ class GaussianProcess(Module):
         noise = _as_noise(noise, diag, mean_value)
 
         if solver is None:
-            if isinstance(covariance_value, SymmQSM) or isinstance(kernel, Quasisep):
-                solver = QuasisepSolver
-            else:
-                solver = DirectSolver
+            structured = isinstance(kernel, Quasisep) or isinstance(
+                covariance_value, SymmQSM
+            )
+            solver = QuasisepSolver if structured else DirectSolver
         if solver is DirectSolver:
             # Quasisep-only switches are harmless no-ops on the dense path;
             # dropping them lets one model function serve both solvers
@@ -120,17 +120,17 @@ class GaussianProcess(Module):
             ),
         )
 
-    @property
-    def loc(self) -> Array:
-        return self.mean
-
-    @property
-    def variance(self) -> Array:
-        return self.solver.variance()
-
-    @property
-    def covariance(self) -> Array:
-        return self.solver.covariance()
+    loc = property(
+        lambda self: self.mean, doc="The marginal mean (alias of ``mean``)."
+    )
+    variance = property(
+        lambda self: self.solver.variance(),
+        doc="Pointwise marginal variance at the input points.",
+    )
+    covariance = property(
+        lambda self: self.solver.covariance(),
+        doc="Dense marginal covariance at the input points.",
+    )
 
     def log_probability(self, y: Array) -> Array:
         """The marginal log probability of ``y`` under this process.
@@ -165,43 +165,25 @@ class GaussianProcess(Module):
             and the conditioned ``gp``.
         """
         if X_test is not None:
-            shapes_ok = jax.tree_util.tree_map(
-                lambda a, b: jnp.ndim(a) == jnp.ndim(b)
-                and jnp.shape(a)[1:] == jnp.shape(b)[1:],
-                self.X,
-                X_test,
-            )
-            if not jax.tree_util.tree_reduce(lambda a, b: a and b, shapes_ok):
-                raise ValueError(
-                    "`X_test` must have the same tree structure as the input "
-                    "`X`, and all but the leading dimension must have "
-                    "matching sizes"
-                )
+            _check_test_points(self.X, X_test)
 
-        alpha, log_prob, mean_value = self._condition(y, X_test, include_mean, kernel)
-        if kernel is None:
-            kernel = self.kernel
+        kinv_r, log_prob, post_loc = self._condition(y, X_test, include_mean, kernel)
+        cross_kernel = self.kernel if kernel is None else kernel
+        noise = _as_noise(noise, diag, post_loc)
 
-        noise = _as_noise(noise, diag, mean_value)
-        covariance_value = self.solver.condition(kernel, X_test, noise)
-        if X_test is None:
-            X_test = self.X
-
-        gp = GaussianProcess(
-            kernels.Conditioned(self.X, self.solver, kernel),
-            X_test,
-            noise=noise,
-            mean=means.Conditioned(
-                self.X,
-                alpha,
-                kernel,
-                include_mean=include_mean,
-                mean_function=self.mean_function,
-            ),
-            mean_value=mean_value,
-            covariance_value=covariance_value,
+        post_mean = means.Conditioned(
+            self.X, kinv_r, cross_kernel,
+            include_mean=include_mean, mean_function=self.mean_function,
         )
-        return ConditionResult(log_prob, gp)
+        post = GaussianProcess(
+            kernels.Conditioned(self.X, self.solver, cross_kernel),
+            self.X if X_test is None else X_test,
+            noise=noise,
+            mean=post_mean,
+            mean_value=post_loc,
+            covariance_value=self.solver.condition(cross_kernel, X_test, noise),
+        )
+        return ConditionResult(log_prob, post)
 
     @partial(jax.jit, static_argnames=("include_mean", "return_var", "return_cov"))
     def predict(
@@ -215,12 +197,12 @@ class GaussianProcess(Module):
         return_cov: bool = False,
     ) -> Array | tuple[Array, Array]:
         """Posterior mean (and optionally variance/covariance) at ``X_test``."""
-        _, cond = self.condition(y, X_test, kernel=kernel, include_mean=include_mean)
+        post = self.condition(y, X_test, kernel=kernel, include_mean=include_mean).gp
         if return_var:
-            return cond.loc, cond.variance
+            return post.loc, post.variance
         if return_cov:
-            return cond.loc, cond.covariance
-        return cond.loc
+            return post.loc, post.covariance
+        return post.loc
 
     def sample(
         self,
@@ -236,7 +218,7 @@ class GaussianProcess(Module):
 
         return TinyDistribution(self, **kwargs)
 
-    @partial(jax.jit, static_argnums=(2,))
+    @partial(jax.jit, static_argnames=("shape",))
     def _sample(
         self,
         key: jax.Array,
@@ -291,7 +273,7 @@ class GaussianProcess(Module):
             mu = mu + jax.vmap(self.mean_function)(X_test)
         return mu
 
-    @partial(jax.jit, static_argnums=(3,))
+    @partial(jax.jit, static_argnames=("include_mean",))
     def _condition(
         self,
         y: Array,
@@ -314,6 +296,23 @@ class ConditionResult(NamedTuple):
 
     gp: GaussianProcess
     """The conditional process evaluated at the test points."""
+
+
+def _check_test_points(X: Array, X_test: Array) -> None:
+    """Require ``X_test`` to be pointwise-compatible with the inputs ``X``:
+    same pytree structure, same trailing (per-point) leaf shapes."""
+    flat, struct = jax.tree_util.tree_flatten(X)
+    flat_test, struct_test = jax.tree_util.tree_flatten(X_test)
+    ok = struct == struct_test and all(
+        jnp.shape(a)[1:] == jnp.shape(b)[1:] and jnp.ndim(a) == jnp.ndim(b)
+        for a, b in zip(flat, flat_test)
+    )
+    if not ok:
+        raise ValueError(
+            "`X_test` must have the same tree structure as the input "
+            "`X`, and all but the leading dimension must have "
+            "matching sizes"
+        )
 
 
 def _default_diag(reference: Array) -> Array:

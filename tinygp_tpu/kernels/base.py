@@ -27,7 +27,7 @@ __all__ = [
     "Polynomial",
 ]
 
-from collections.abc import Callable, Sequence
+from collections.abc import Callable
 from typing import TYPE_CHECKING, Any
 
 import jax
@@ -38,8 +38,6 @@ from tinygp_tpu.utils.module import Module, field, static_field
 
 if TYPE_CHECKING:
     from tinygp_tpu.solvers.solver import Solver
-
-Axis = int | Sequence[int]
 
 
 class Kernel(Module):
@@ -84,13 +82,17 @@ class Kernel(Module):
         X2: Array | None = None,
         y: Array | None = None,
     ) -> Array:
-        """Compute ``K(X1, X2) @ y`` (densely, by default)."""
+        """Compute ``K(X1, X2) @ y`` (densely, by default).
+
+        Two-argument form ``matmul(X1, y)`` evaluates the symmetric
+        ``K(X1, X1) @ y``. The contraction is precision-pinned (``pdot``)
+        so TPU bf16 demotion cannot corrupt predictive means.
+        """
         if y is None:
-            assert X2 is not None
             X2, y = None, X2
-        if X2 is None:
-            X2 = X1
-        return jnp.dot(self(X1, X2), y)
+            if y is None:
+                raise TypeError("matmul() needs a right-hand side `y`")
+        return pdot(self(X1, X1 if X2 is None else X2), y)
 
     def __call__(self, X1: Array, X2: Array | None = None) -> Array:
         if X2 is None:
@@ -102,10 +104,8 @@ class Kernel(Module):
         return Sum(self, _as_kernel(other))
 
     def __radd__(self, other: Any) -> Kernel:
-        if other == 0:
-            # builtin sum() seeds its accumulator with the int 0.
-            return self
-        return Sum(_as_kernel(other), self)
+        # builtin sum() seeds its accumulator with the int 0; fold it away.
+        return self if other == 0 else Sum(_as_kernel(other), self)
 
     def __mul__(self, other: Kernel | Array) -> Kernel:
         return Product(self, _as_kernel(other))
@@ -162,31 +162,46 @@ class Custom(Kernel):
         return self.function(X1, X2)
 
 
-class Sum(Kernel):
-    """The sum of two kernels."""
+class _Pair(Kernel):
+    """Shared structure for binary kernel combinations.
+
+    Field names are part of the public pytree/repr surface (users pattern-
+    match ``kernel1``/``kernel2``), so they stay spelled out here.
+    """
 
     kernel1: Kernel
     kernel2: Kernel
 
+    def _both(self, method: str, *args: Array) -> tuple[Array, Array]:
+        return (
+            getattr(self.kernel1, method)(*args),
+            getattr(self.kernel2, method)(*args),
+        )
+
+
+class Sum(_Pair):
+    """The sum of two kernels."""
+
     def evaluate(self, X1: Array, X2: Array) -> Array:
-        return self.kernel1.evaluate(X1, X2) + self.kernel2.evaluate(X1, X2)
+        a, b = self._both("evaluate", X1, X2)
+        return a + b
 
     def gram(self, X1: Array, X2: Array) -> Array:
         # Summing full matrices keeps each operand's batched fast path.
-        return self.kernel1.gram(X1, X2) + self.kernel2.gram(X1, X2)
+        a, b = self._both("gram", X1, X2)
+        return a + b
 
 
-class Product(Kernel):
+class Product(_Pair):
     """The elementwise product of two kernels."""
 
-    kernel1: Kernel
-    kernel2: Kernel
-
     def evaluate(self, X1: Array, X2: Array) -> Array:
-        return self.kernel1.evaluate(X1, X2) * self.kernel2.evaluate(X1, X2)
+        a, b = self._both("evaluate", X1, X2)
+        return a * b
 
     def gram(self, X1: Array, X2: Array) -> Array:
-        return self.kernel1.gram(X1, X2) * self.kernel2.gram(X1, X2)
+        a, b = self._both("gram", X1, X2)
+        return a * b
 
 
 class Constant(Kernel):
@@ -196,7 +211,7 @@ class Constant(Kernel):
 
     def evaluate(self, X1: Array, X2: Array) -> Array:
         del X1, X2
-        if jnp.ndim(self.value) != 0:
+        if jnp.ndim(self.value):
             raise ValueError(
                 "Constant kernels wrap a scalar; for array-valued amplitudes "
                 "compose with transforms or a custom kernel"
@@ -208,9 +223,8 @@ class DotProduct(Kernel):
     r"""The dot-product kernel :math:`k(x_i, x_j) = x_i \cdot x_j`."""
 
     def evaluate(self, X1: Array, X2: Array) -> Array:
-        if jnp.ndim(X1) == 0:
-            return X1 * X2
-        return X1 @ X2
+        # Covers scalars and vectors alike (a scalar "sum" is itself).
+        return jnp.sum(X1 * X2)
 
     def gram(self, X1: Array, X2: Array) -> Array:
         # A single MXU matmul instead of N*M dot products.

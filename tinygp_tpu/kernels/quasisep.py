@@ -103,20 +103,26 @@ class Quasisep(Kernel):
 
     def design_matrix(self) -> Array:
         """The SDE design (drift) matrix F."""
-        raise NotImplementedError
+        raise NotImplementedError("the SSM quadruple requires design_matrix")
 
     def stationary_covariance(self) -> Array:
         """The stationary state covariance Pinf."""
-        raise NotImplementedError
+        raise NotImplementedError(
+            "the SSM quadruple requires stationary_covariance"
+        )
 
     def observation_model(self, X: Array) -> Array:
         """The observation vector h at one coordinate."""
-        raise NotImplementedError
+        raise NotImplementedError(
+            "the SSM quadruple requires observation_model"
+        )
 
     def transition_matrix(self, X1: Array, X2: Array) -> Array:
         """The adjoint propagator: if means propagate as ``m2 = F @ m1``,
         return ``F.T`` (i.e. ``expm(design_matrix().T * dt)``)."""
-        raise NotImplementedError
+        raise NotImplementedError(
+            "the SSM quadruple requires transition_matrix"
+        )
 
     def coord_to_sortable(self, X: Array) -> Array:
         """Map a (possibly structured) coordinate to a sortable scalar."""
@@ -182,50 +188,30 @@ class Quasisep(Kernel):
     ) -> Array:
         """O(N) matvec through the quasiseparable representation."""
         if y is None:
-            assert X2 is not None
             X2, y = None, X2
+            if y is None:
+                raise TypeError("matmul() needs a right-hand side `y`")
         if X2 is None:
-            return self.to_symm_qsm(X1) @ y
-        return self.to_general_qsm(X1, X2) @ y
+            return self.to_symm_qsm(X1).matmul(y)
+        return self.to_general_qsm(X1, X2).matmul(y)
 
     # -- algebra (closed within the quasisep family) ------------------------
     def __add__(self, other: Kernel | Array) -> Kernel:
-        if not isinstance(other, Quasisep):
-            raise ValueError(
-                "adding a non-quasiseparable term would lose the O(N) structure; "
-                "build a dense kernel instead"
-            )
-        return Sum(self, other)
+        return Sum(self, _quasisep_only(other))
 
     def __radd__(self, other: Any) -> Kernel:
-        if other == 0:  # support builtin sum()
-            return self
-        if not isinstance(other, Quasisep):
-            raise ValueError(
-                "adding a non-quasiseparable term would lose the O(N) structure; "
-                "build a dense kernel instead"
-            )
-        return Sum(other, self)
+        # builtin sum() seeds its accumulator with the int 0; fold it away.
+        return self if other == 0 else Sum(_quasisep_only(other), self)
 
     def __mul__(self, other: Kernel | Array) -> Kernel:
         if isinstance(other, Quasisep):
             return Product(self, other)
-        if isinstance(other, Kernel) or jnp.ndim(other) != 0:
-            raise ValueError(
-                "Quasisep kernels can only be multiplied by scalars and "
-                "other Quasisep kernels"
-            )
-        return Scale(kernel=self, scale=other)
+        return Scale(kernel=self, scale=_scalar_only(other))
 
     def __rmul__(self, other: Any) -> Kernel:
         if isinstance(other, Quasisep):
             return Product(other, self)
-        if isinstance(other, Kernel) or jnp.ndim(other) != 0:
-            raise ValueError(
-                "Quasisep kernels can only be multiplied by scalars and "
-                "other Quasisep kernels"
-            )
-        return Scale(kernel=self, scale=other)
+        return Scale(kernel=self, scale=_scalar_only(other))
 
     def evaluate(self, X1: Array, X2: Array) -> Array:
         """Pointwise evaluation via the state-space representation.
@@ -254,6 +240,24 @@ class Quasisep(Kernel):
         return jnp.sum(jnp.sum(h[:, None] * Pinf, axis=0) * h)
 
 
+def _quasisep_only(other: Any) -> Quasisep:
+    if not isinstance(other, Quasisep):
+        raise ValueError(
+            "adding a non-quasiseparable term would lose the O(N) "
+            "structure; build a dense kernel instead"
+        )
+    return other
+
+
+def _scalar_only(other: Any) -> Any:
+    if isinstance(other, Kernel) or jnp.ndim(other) != 0:
+        raise ValueError(
+            "Quasisep kernels can only be multiplied by scalars and "
+            "other Quasisep kernels"
+        )
+    return other
+
+
 class Wrapper(Quasisep):
     """Base class for kernels that delegate to a wrapped quasisep kernel."""
 
@@ -277,7 +281,28 @@ class Wrapper(Quasisep):
         )
 
 
-class Sum(Quasisep):
+class _Pair(Quasisep):
+    """Shared structure for binary quasisep combinations.
+
+    ``kernel1``/``kernel2`` are part of the public pytree surface. Both
+    operands must share input coordinates; ``kernel1`` is the authority
+    for the sortable mapping.
+    """
+
+    kernel1: Quasisep
+    kernel2: Quasisep
+
+    def coord_to_sortable(self, X: Array) -> Array:
+        return self.kernel1.coord_to_sortable(X)
+
+    def _both(self, method: str, *args: Array) -> tuple[Array, Array]:
+        return (
+            getattr(self.kernel1, method)(*args),
+            getattr(self.kernel2, method)(*args),
+        )
+
+
+class Sum(_Pair):
     """The sum of two quasisep kernels: states concatenate block-diagonally.
 
     Args:
@@ -288,13 +313,7 @@ class Sum(Quasisep):
             transitions (e.g. products, banded noise).
     """
 
-    kernel1: Quasisep
-    kernel2: Quasisep
     use_block: bool = static_field(default=True)
-
-    def coord_to_sortable(self, X: Array) -> Array:
-        # Both operands are assumed to share coordinates.
-        return self.kernel1.coord_to_sortable(X)
 
     def _combine(self, m1: Array, m2: Array) -> Array:
         if not self.use_block:
@@ -305,29 +324,16 @@ class Sum(Quasisep):
         return Block(*blocks1, *blocks2)
 
     def design_matrix(self) -> Array:
-        return self._combine(
-            self.kernel1.design_matrix(), self.kernel2.design_matrix()
-        )
+        return self._combine(*self._both("design_matrix"))
 
     def stationary_covariance(self) -> Array:
-        return self._combine(
-            self.kernel1.stationary_covariance(),
-            self.kernel2.stationary_covariance(),
-        )
+        return self._combine(*self._both("stationary_covariance"))
 
     def observation_model(self, X: Array) -> Array:
-        return jnp.concatenate(
-            (
-                self.kernel1.observation_model(X),
-                self.kernel2.observation_model(X),
-            )
-        )
+        return jnp.concatenate(self._both("observation_model", X))
 
     def transition_matrix(self, X1: Array, X2: Array) -> Array:
-        return self._combine(
-            self.kernel1.transition_matrix(X1, X2),
-            self.kernel2.transition_matrix(X1, X2),
-        )
+        return self._combine(*self._both("transition_matrix", X1, X2))
 
 
 def _kron(m1: Array, m2: Array) -> Array:
@@ -341,37 +347,21 @@ def _kron(m1: Array, m2: Array) -> Array:
     raise NotImplementedError
 
 
-class Product(Quasisep):
+class Product(_Pair):
     """The product of two quasisep kernels: states combine as Kroneckers."""
 
-    kernel1: Quasisep
-    kernel2: Quasisep
-
-    def coord_to_sortable(self, X: Array) -> Array:
-        return self.kernel1.coord_to_sortable(X)
-
     def design_matrix(self) -> Array:
-        F1 = ensure_dense(self.kernel1.design_matrix())
-        F2 = ensure_dense(self.kernel2.design_matrix())
+        F1, F2 = map(ensure_dense, self._both("design_matrix"))
         return _kron(F1, jnp.eye(F2.shape[0])) + _kron(jnp.eye(F1.shape[0]), F2)
 
     def stationary_covariance(self) -> Array:
-        return _kron(
-            self.kernel1.stationary_covariance(),
-            self.kernel2.stationary_covariance(),
-        )
+        return _kron(*self._both("stationary_covariance"))
 
     def observation_model(self, X: Array) -> Array:
-        return _kron(
-            self.kernel1.observation_model(X),
-            self.kernel2.observation_model(X),
-        )
+        return _kron(*self._both("observation_model", X))
 
     def transition_matrix(self, X1: Array, X2: Array) -> Array:
-        return _kron(
-            self.kernel1.transition_matrix(X1, X2),
-            self.kernel2.transition_matrix(X1, X2),
-        )
+        return _kron(*self._both("transition_matrix", X1, X2))
 
 
 class Scale(Wrapper):

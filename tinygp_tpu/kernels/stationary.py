@@ -31,6 +31,13 @@ from tinygp_tpu.kernels.distance import Distance, L1Distance, L2Distance
 from tinygp_tpu.utils.module import field
 
 
+def _require(value, kernel: str, name: str):
+    """Fail construction loudly when a no-default parameter was omitted."""
+    if value is None:
+        raise ValueError(f"{kernel} needs its required `{name}` parameter")
+    return value
+
+
 class Stationary(Kernel):
     """Base class for isotropic stationary kernels.
 
@@ -132,12 +139,11 @@ class ExpSineSquared(Stationary):
     gamma: Array | float | None = None
 
     def __post_init__(self) -> None:
-        if self.gamma is None:
-            raise ValueError("Missing required argument 'gamma'")
+        _require(self.gamma, "ExpSineSquared", "gamma")
 
     def profile(self, r: Array) -> Array:
-        assert self.gamma is not None
-        return jnp.exp(-self.gamma * jnp.square(jnp.sin(jnp.pi * r)))
+        s = jnp.sin(jnp.pi * r)
+        return jnp.exp(-self.gamma * s * s)
 
 
 class RationalQuadratic(Stationary):
@@ -151,10 +157,8 @@ class RationalQuadratic(Stationary):
     alpha: Array | float | None = None
 
     def __post_init__(self) -> None:
-        if self.alpha is None:
-            raise ValueError("Missing required argument 'alpha'")
+        _require(self.alpha, "RationalQuadratic", "alpha")
 
     def evaluate(self, X1: Array, X2: Array) -> Array:
-        assert self.alpha is not None
-        r2 = self._r2(X1, X2)
-        return (1.0 + 0.5 * r2 / self.alpha) ** -self.alpha
+        a = self.alpha
+        return jnp.power(1.0 + self._r2(X1, X2) / (2.0 * a), -a)

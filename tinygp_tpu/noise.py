@@ -30,20 +30,22 @@ class Noise(Module):
 
     def diagonal(self) -> Array:
         """The diagonal of the noise matrix."""
-        raise NotImplementedError
+        raise NotImplementedError("concrete noise models define diagonal()")
 
     def __add__(self, other: Array) -> Array:
-        raise NotImplementedError
+        raise NotImplementedError("concrete noise models define +")
 
     def __radd__(self, other: Array) -> Array:
-        raise NotImplementedError
+        return self.__add__(other)
 
     def __matmul__(self, other: Array) -> Array:
-        raise NotImplementedError
+        raise NotImplementedError("concrete noise models define @")
 
     def to_qsm(self) -> SymmQSM | DiagQSM:
         """This noise model as a quasiseparable matrix."""
-        raise NotImplementedError
+        raise NotImplementedError(
+            "this noise model has no quasiseparable form"
+        )
 
 
 class Diagonal(Noise):
@@ -58,9 +60,9 @@ class Diagonal(Noise):
     def __post_init__(self) -> None:
         if jnp.ndim(self.diag) != 1:
             raise ValueError(
-                "The diagonal for the noise model must be the same shape as "
-                "the data; if passing a constant, it should be broadcast "
-                "first"
+                "Diagonal noise stores one variance per observation: pass "
+                "an (N,) array (broadcast scalars with jnp.full / "
+                "jnp.broadcast_to before constructing)"
             )
 
     def diagonal(self) -> Array:
@@ -74,13 +76,11 @@ class Diagonal(Noise):
     def __add__(self, other: Array) -> Array:
         return self._add(other)
 
-    def __radd__(self, other: Array) -> Array:
-        return self._add(other)
+    __radd__ = __add__
 
     def __matmul__(self, other: Array) -> Array:
-        if jnp.ndim(other) == 1:
-            return self.diag * other
-        return self.diag[:, None] * other
+        d = self.diag
+        return d * other if jnp.ndim(other) == 1 else d[:, None] * other
 
     def to_qsm(self) -> DiagQSM:
         from tinygp_tpu.solvers.quasisep.core import DiagQSM
@@ -98,13 +98,12 @@ class Dense(Noise):
     value: Array
 
     def diagonal(self) -> Array:
-        return jnp.diag(self.value)
+        return jnp.diagonal(self.value)
 
     def __add__(self, other: Array) -> Array:
         return self.value + other
 
-    def __radd__(self, other: Array) -> Array:
-        return other + self.value
+    __radd__ = __add__
 
     def __matmul__(self, other: Array) -> Array:
         return pdot(self.value, other)
@@ -161,11 +160,10 @@ class Banded(Noise):
     def __add__(self, other: Array) -> Array:
         return self._add(other)
 
-    def __radd__(self, other: Array) -> Array:
-        return self._add(other)
+    __radd__ = __add__
 
     def __matmul__(self, other: Array) -> Array:
-        return self.to_qsm() @ other
+        return self.to_qsm().matmul(other)
 
     def to_qsm(self) -> SymmQSM:
         from tinygp_tpu.solvers.quasisep import core

@@ -12,21 +12,36 @@ from __future__ import annotations
 
 __all__ = ["Block", "ensure_dense"]
 
+import operator
 from collections.abc import Callable
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.linalg import block_diag
 
 from tinygp_tpu.helpers import Array, pdot
 from tinygp_tpu.utils.module import Module
 
+# Anything a Block can combine with: scalars, arrays, other Blocks.
+Operand = Any
 
-def ensure_dense(x: Any) -> Any:
+
+def ensure_dense(x: Operand) -> Operand:
     """Densify a :class:`Block`; pass anything else through."""
     return x.to_dense() if isinstance(x, Block) else x
+
+
+def _deferring(op: Callable[[Any, Any], Any], *, swap: bool = False):
+    """Build a binary dunder: blockwise for matching Blocks, dense otherwise."""
+
+    def method(self: Block, other: Operand) -> Operand:
+        if isinstance(other, Block):
+            return self._zip(op, other)
+        dense = self.to_dense()
+        return op(other, dense) if swap else op(dense, other)
+
+    return method
 
 
 class Block(Module):
@@ -37,11 +52,11 @@ class Block(Module):
     operand at the block boundaries so no dense square is ever formed.
     """
 
-    blocks: tuple[Any, ...]
+    blocks: tuple[Operand, ...]
 
     __array_priority__ = 1999
 
-    def __init__(self, *blocks: Any):
+    def __init__(self, *blocks: Operand):
         self._init(blocks=tuple(blocks))
 
     # -- helpers ------------------------------------------------------------
@@ -50,18 +65,18 @@ class Block(Module):
         """Apply ``f`` block-by-block."""
         return Block(*(f(b) for b in self.blocks))
 
-    def _map2(self, f: Callable[[Any, Any], Any], other: Block) -> Block:
+    def _zip(self, f: Callable[[Any, Any], Any], other: Block) -> Block:
         """Combine with another Block of identical layout, block-by-block."""
-        if len(self.blocks) != len(other.blocks):
+        mine, theirs = self.blocks, other.blocks
+        if len(mine) != len(theirs) or any(
+            np.shape(b1) != np.shape(b2) for b1, b2 in zip(mine, theirs)
+        ):
             raise ValueError("Block layouts do not match")
-        for b1, b2 in zip(self.blocks, other.blocks):
-            if np.shape(b1) != np.shape(b2):
-                raise ValueError("Block layouts do not match")
-        return Block(*(f(b1, b2) for b1, b2 in zip(self.blocks, other.blocks)))
+        return Block(*(f(b1, b2) for b1, b2 in zip(mine, theirs)))
 
-    def _splits(self, axis_size_of: Callable[[Any], int]) -> list[int]:
+    def _edges(self, axis: int) -> list[int]:
         """Cut points partitioning an operand at the block boundaries."""
-        return list(np.cumsum([axis_size_of(b) for b in self.blocks]))[:-1]
+        return list(np.cumsum([np.shape(b)[axis] for b in self.blocks]))[:-1]
 
     # -- shape protocol -----------------------------------------------------
 
@@ -69,18 +84,20 @@ class Block(Module):
         return self._map(lambda b: b[idx])
 
     def __len__(self) -> int:
-        assert all(np.ndim(b) == 2 for b in self.blocks)
-        return sum(np.shape(b)[0] for b in self.blocks)
+        if self.ndim != 2:
+            raise TypeError("len() of a batched Block is ambiguous")
+        return int(sum(np.shape(b)[-2] for b in self.blocks))
 
     @property
     def ndim(self) -> int:
-        (ndim,) = {np.ndim(b) for b in self.blocks}
-        return ndim
+        dims = {np.ndim(b) for b in self.blocks}
+        if len(dims) != 1:
+            raise ValueError("Blocks have mixed numbers of dimensions")
+        return dims.pop()
 
     @property
     def shape(self) -> tuple[int, int]:
-        size = len(self)
-        return (size, size)
+        return (len(self), len(self))
 
     def transpose(self) -> Block:
         return self._map(lambda b: b.transpose())
@@ -94,50 +111,45 @@ class Block(Module):
         return self._map(lambda b: jnp.swapaxes(b, -1, -2))
 
     def to_dense(self) -> Array:
-        ndim = self.ndim
-        assert ndim >= 2
-        if ndim == 2:
-            return block_diag(*self.blocks)
-        # Batched blocks: map the dense assembly over the leading axis.
-        return jax.vmap(lambda *bs: Block(*bs).to_dense())(*self.blocks)
+        if self.ndim > 2:
+            # Batched blocks: map the dense assembly over the leading axis.
+            return jax.vmap(lambda *bs: Block(*bs).to_dense())(*self.blocks)
+        n = len(self)
+        out = jnp.zeros((n, n), jnp.result_type(*self.blocks))
+        lo = 0
+        for b in self.blocks:
+            hi = lo + np.shape(b)[-2]
+            out = out.at[lo:hi, lo:hi].set(b)
+            lo = hi
+        return out
 
     # -- algebra ------------------------------------------------------------
 
-    def __mul__(self, other: Any) -> Block:
+    def __mul__(self, other: Operand) -> Block:
+        # Scalar scaling stays lazy (used by Scale/Product kernels).
         return self._map(lambda b: b * other)
 
-    def __rmul__(self, other: Any) -> Block:
-        return self.__mul__(other)
+    def __rmul__(self, other: Operand) -> Block:
+        return self._map(lambda b: other * b)
 
-    def __add__(self, other: Any) -> Any:
+    __add__ = _deferring(operator.add)
+    __radd__ = _deferring(operator.add, swap=True)
+    __sub__ = _deferring(operator.sub)
+    __rsub__ = _deferring(operator.sub, swap=True)
+
+    def __matmul__(self, other: Operand) -> Operand:
         if isinstance(other, Block):
-            return self._map2(lambda a, b: a + b, other)
-        return self.to_dense() + other
-
-    def __radd__(self, other: Any) -> Any:
-        return other + self.to_dense()
-
-    def __sub__(self, other: Any) -> Any:
-        if isinstance(other, Block):
-            return self._map2(lambda a, b: a - b, other)
-        return self.to_dense() - other
-
-    def __rsub__(self, other: Any) -> Any:
-        return other - self.to_dense()
-
-    def __matmul__(self, other: Any) -> Any:
-        if isinstance(other, Block):
-            return self._map2(pdot, other)
-        ndim = np.ndim(other)
-        assert ndim >= 1
-        axis = 0 if ndim == 1 else -2
-        pieces = jnp.split(other, self._splits(lambda b: np.shape(b)[-1]), axis)
+            return self._zip(pdot, other)
+        if np.ndim(other) < 1:
+            raise ValueError("matmul against a scalar")
+        axis = 0 if np.ndim(other) == 1 else -2
+        pieces = jnp.split(other, self._edges(-1), axis)
         return jnp.concatenate(
             [pdot(b, p) for b, p in zip(self.blocks, pieces)], axis
         )
 
-    def __rmatmul__(self, other: Any) -> Any:
-        pieces = jnp.split(other, self._splits(lambda b: np.shape(b)[-2]), -1)
+    def __rmatmul__(self, other: Operand) -> Operand:
+        pieces = jnp.split(other, self._edges(-2), -1)
         return jnp.concatenate(
             [pdot(p, b) for p, b in zip(pieces, self.blocks)], -1
         )

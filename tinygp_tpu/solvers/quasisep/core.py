@@ -40,6 +40,14 @@ from tinygp_tpu.solvers.quasisep.block import ensure_dense
 from tinygp_tpu.utils.module import Module
 
 
+def _ops():
+    """The O(N) algorithm module, imported late to break the import cycle
+    (ops builds on the classes defined here)."""
+    from tinygp_tpu.solvers.quasisep import ops
+
+    return ops
+
+
 def _matvec_shape(matmul):
     """Normalize the rhs to 2-D inside, restoring the caller's shape after."""
 
@@ -59,7 +67,7 @@ class QSM(Module):
     __array_priority__ = 2000
 
     def transpose(self) -> Any:
-        raise NotImplementedError
+        raise NotImplementedError("each QSM type defines its transpose")
 
     def _terms(self) -> tuple[Any, ...]:
         """Component matrices whose matvecs sum to this matrix's.
@@ -95,50 +103,52 @@ class QSM(Module):
     def __neg__(self) -> QSM:
         return self._map_parts(lambda part: -part)
 
-    @property
-    def T(self) -> Any:
-        return self.transpose()
+    T = property(
+        lambda self: self.transpose(), doc="Transpose (alias)."
+    )
 
     def to_dense(self) -> Array:
         """Materialize (testing only: O(N^2) memory)."""
-        return self.matmul(jnp.eye(self.shape[0]))
+        return self.matmul(jnp.eye(self.shape[0], dtype=self.dtype))
+
+    @property
+    def dtype(self) -> Any:
+        return jax.tree_util.tree_leaves(self)[0].dtype
 
     @property
     def shape(self) -> tuple[int, int]:
         n = jax.tree_util.tree_leaves(self)[0].shape[0]
         return (n, n)
 
-    def __add__(self, other: Any) -> Any:
-        from tinygp_tpu.solvers.quasisep.ops import elementwise_add
+    def _check_scale_operand(self, other: Any) -> Any:
+        if jnp.ndim(other) > 1:
+            raise ValueError(
+                "a QSM can be scaled by a scalar or per-row vector only"
+            )
+        return other
 
-        return elementwise_add(self, other)
+    def __add__(self, other: Any) -> Any:
+        return _ops().elementwise_add(self, other)
 
     def __sub__(self, other: Any) -> Any:
-        return self.__add__(-other)
+        return _ops().elementwise_add(self, -other)
 
     def __mul__(self, other: Any) -> Any:
         if isinstance(other, QSM):
-            from tinygp_tpu.solvers.quasisep.ops import elementwise_mul
-
-            return elementwise_mul(self, other)
-        assert jnp.ndim(other) <= 1
-        return self.scale(other)
+            return _ops().elementwise_mul(self, other)
+        return self.scale(self._check_scale_operand(other))
 
     def __rmul__(self, other: Any) -> Any:
-        assert not isinstance(other, QSM)
-        assert jnp.ndim(other) <= 1
-        return self.scale(other)
+        return self.scale(self._check_scale_operand(other))
 
     def __matmul__(self, other: Any) -> Any:
         if isinstance(other, QSM):
-            from tinygp_tpu.solvers.quasisep.ops import qsm_mul
-
-            return qsm_mul(self, other)
+            return _ops().qsm_mul(self, other)
         return self.matmul(other)
 
     def __rmatmul__(self, other: Any) -> Any:
-        assert not isinstance(other, QSM)
-        return (self.transpose() @ other.transpose()).transpose()
+        # x @ M  ==  (M^T @ x^T)^T, and QSM transposes are free.
+        return (self.T @ other.transpose()).transpose()
 
 
 class DiagQSM(QSM):
@@ -155,8 +165,8 @@ class DiagQSM(QSM):
 
     @_matvec_shape
     def matmul(self, x: Array, *, parallel: bool = False) -> Array:
-        del parallel
-        return self.d[:, None] * x
+        del parallel  # diagonal scaling has no scan to parallelize
+        return x * self.d[:, None]
 
     def scale(self, other: Array) -> DiagQSM:
         return DiagQSM(d=self.d * other)
@@ -189,9 +199,9 @@ class StrictLowerTriQSM(QSM):
 
     @_matvec_shape
     def matmul(self, x: Array, *, parallel: bool = False) -> Array:
-        from tinygp_tpu.solvers.quasisep.ops import strict_lower_matmul
-
-        return strict_lower_matmul(self.p, self.q, self.a, x, parallel=parallel)
+        return _ops().strict_lower_matmul(
+            self.p, self.q, self.a, x, parallel=parallel
+        )
 
     def scale(self, other: Array) -> StrictLowerTriQSM:
         return StrictLowerTriQSM(p=self.p * other, q=self.q, a=self.a)
@@ -200,11 +210,11 @@ class StrictLowerTriQSM(QSM):
         """Sum: concatenate generators, block-diagonal the transitions."""
 
         @jax.vmap
-        def per_row(p1, q1, a1, p2, q2, a2):
+        def per_row(pa, qa, aa, pb, qb, ab):
             return StrictLowerTriQSM(
-                p=jnp.concatenate((p1, p2)),
-                q=jnp.concatenate((q1, q2)),
-                a=block_diag(ensure_dense(a1), ensure_dense(a2)),
+                p=jnp.concatenate((pa, pb)),
+                q=jnp.concatenate((qa, qb)),
+                a=block_diag(ensure_dense(aa), ensure_dense(ab)),
             )
 
         return per_row(self.p, self.q, self.a, other.p, other.q, other.a)
@@ -246,18 +256,18 @@ class StrictUpperTriQSM(QSM):
 
     @_matvec_shape
     def matmul(self, x: Array, *, parallel: bool = False) -> Array:
-        from tinygp_tpu.solvers.quasisep.ops import strict_upper_matmul
-
-        return strict_upper_matmul(self.p, self.q, self.a, x, parallel=parallel)
+        return _ops().strict_upper_matmul(
+            self.p, self.q, self.a, x, parallel=parallel
+        )
 
     def scale(self, other: Array) -> StrictUpperTriQSM:
         return StrictUpperTriQSM(p=self.p, q=self.q * other, a=self.a)
 
     def self_add(self, other: StrictUpperTriQSM) -> StrictUpperTriQSM:
-        return self.transpose().self_add(other.transpose()).transpose()
+        return self.T.self_add(other.T).T
 
     def self_mul(self, other: StrictUpperTriQSM) -> StrictUpperTriQSM:
-        return self.transpose().self_mul(other.transpose()).transpose()
+        return self.T.self_mul(other.T).T
 
     def __neg__(self) -> StrictUpperTriQSM:
         return StrictUpperTriQSM(p=-self.p, q=self.q, a=self.a)
@@ -270,7 +280,7 @@ class LowerTriQSM(QSM):
     lower: StrictLowerTriQSM
 
     def transpose(self) -> UpperTriQSM:
-        return UpperTriQSM(diag=self.diag, upper=self.lower.transpose())
+        return UpperTriQSM(diag=self.diag, upper=self.lower.T)
 
     def _terms(self):
         return (self.diag, self.lower)
@@ -296,9 +306,7 @@ class LowerTriQSM(QSM):
     @_matvec_shape
     def solve(self, y: Array, *, parallel: bool = False) -> Array:
         """Forward substitution: solve ``L @ x = y``."""
-        from tinygp_tpu.solvers.quasisep.ops import lower_triangular_solve
-
-        return lower_triangular_solve(
+        return _ops().lower_triangular_solve(
             self.diag.d, self.lower.p, self.lower.q, self.lower.a, y,
             parallel=parallel,
         )
@@ -311,20 +319,18 @@ class UpperTriQSM(QSM):
     upper: StrictUpperTriQSM
 
     def transpose(self) -> LowerTriQSM:
-        return LowerTriQSM(diag=self.diag, lower=self.upper.transpose())
+        return LowerTriQSM(diag=self.diag, lower=self.upper.T)
 
     def _terms(self):
         return (self.diag, self.upper)
 
     def inv(self) -> UpperTriQSM:
-        return self.transpose().inv().transpose()
+        return self.T.inv().T
 
     @_matvec_shape
     def solve(self, y: Array, *, parallel: bool = False) -> Array:
         """Backward substitution: solve ``U @ x = y``."""
-        from tinygp_tpu.solvers.quasisep.ops import upper_triangular_solve
-
-        return upper_triangular_solve(
+        return _ops().upper_triangular_solve(
             self.diag.d, self.upper.p, self.upper.q, self.upper.a, y,
             parallel=parallel,
         )
@@ -339,9 +345,7 @@ class SquareQSM(QSM):
 
     def transpose(self) -> SquareQSM:
         return SquareQSM(
-            diag=self.diag,
-            lower=self.upper.transpose(),
-            upper=self.lower.transpose(),
+            diag=self.diag, lower=self.upper.T, upper=self.lower.T
         )
 
     def _terms(self):
@@ -349,7 +353,7 @@ class SquareQSM(QSM):
 
     def gram(self) -> SymmQSM:
         """``self.T @ self`` as a symmetric quasiseparable matrix."""
-        M = self.transpose() @ self
+        M = self.T @ self
         return SymmQSM(diag=M.diag, lower=M.lower)
 
     @jax.jit
@@ -423,9 +427,7 @@ class SymmQSM(QSM):
 
     def inv(self, *, parallel: bool = False) -> SymmQSM:
         """The inverse, which is again symmetric quasiseparable."""
-        from tinygp_tpu.solvers.quasisep.ops import symm_solve_generators
-
-        lam, t, s, ell = symm_solve_generators(
+        lam, t, s, ell = _ops().symm_solve_generators(
             self.diag.d, self.lower.p, self.lower.q, self.lower.a,
             parallel=parallel,
         )
@@ -435,9 +437,7 @@ class SymmQSM(QSM):
 
     def cholesky(self, *, parallel: bool = False) -> LowerTriQSM:
         """The lower Cholesky factor ``L`` with ``L @ L.T = self``."""
-        from tinygp_tpu.solvers.quasisep.ops import symm_cholesky
-
-        c, w = symm_cholesky(
+        c, w = _ops().symm_cholesky(
             self.diag.d, self.lower.p, self.lower.q, self.lower.a,
             parallel=parallel,
         )

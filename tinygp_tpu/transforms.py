@@ -52,7 +52,9 @@ class Linear(Kernel):
             return self.scale * X
         if ndim == 2:
             return jnp.dot(self.scale, X)
-        raise ValueError("'scale' must be 0-, 1-, or 2-dimensional")
+        raise ValueError(
+            f"Linear scale has {ndim} dimensions; at most 2 are meaningful"
+        )
 
     def evaluate(self, X1: Array, X2: Array) -> Array:
         return self.kernel.evaluate(self._apply(X1), self._apply(X2))
@@ -77,7 +79,9 @@ class Cholesky(Kernel):
             return X / self.factor
         if ndim == 2:
             return linalg.solve_triangular(self.factor, X, lower=True)
-        raise ValueError("'factor' must be 0-, 1-, or 2-dimensional")
+        raise ValueError(
+            f"Cholesky factor has {ndim} dimensions; at most 2 are meaningful"
+        )
 
     def evaluate(self, X1: Array, X2: Array) -> Array:
         return self.kernel.evaluate(self._apply(X1), self._apply(X2))
@@ -93,17 +97,17 @@ class Cholesky(Kernel):
             off_diagonal: ``(ndim*(ndim-1)/2,)`` strictly-lower entries.
             kernel: The kernel evaluated in the transformed space.
         """
-        ndim = diagonal.size
-        expect = ((ndim - 1) * ndim) // 2
-        if off_diagonal.size != expect:
+        dim = jnp.size(diagonal)
+        expect = dim * (dim - 1) // 2
+        if jnp.size(off_diagonal) != expect:
             raise ValueError(
-                "Dimension mismatch: expected (ndim-1)*ndim/2 = "
-                f"{expect} elements in 'off_diagonal'; got {off_diagonal.size}"
+                f"a {dim}-dimensional Cholesky packing takes {expect} "
+                f"strictly-lower entries; got {jnp.size(off_diagonal)}"
             )
-        factor = jnp.zeros((ndim, ndim), dtype=diagonal.dtype)
-        factor = factor.at[jnp.diag_indices(ndim)].add(diagonal)
-        factor = factor.at[jnp.tril_indices(ndim, -1)].add(off_diagonal)
-        return cls(factor, kernel)
+        factor = jnp.zeros((dim, dim), diagonal.dtype)
+        factor = factor.at[jnp.diag_indices(dim)].set(diagonal)
+        factor = factor.at[jnp.tril_indices(dim, -1)].set(off_diagonal)
+        return cls(factor=factor, kernel=kernel)
 
 
 class Subspace(Kernel):
