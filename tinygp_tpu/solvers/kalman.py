@@ -24,6 +24,12 @@ from tinygp_tpu.solvers.quasisep.block import ensure_dense
 from tinygp_tpu.solvers.solver import Solver
 
 
+_ORACLE_ONLY = (
+    "KalmanSolver is a cross-checking oracle: only the marginal-"
+    "likelihood path (normalization + forward whitening) is implemented"
+)
+
+
 class KalmanSolver(Solver):
     """Whiten observations with a Kalman filter.
 
@@ -49,9 +55,12 @@ class KalmanSolver(Solver):
     ):
         from tinygp_tpu.kernels.quasisep import Quasisep
 
-        assert isinstance(kernel, Quasisep)
-        assert isinstance(noise, Diagonal)
-        assert covariance is None
+        if not isinstance(kernel, Quasisep):
+            raise TypeError("the Kalman oracle needs a state-space kernel")
+        if not isinstance(noise, Diagonal):
+            raise TypeError("the Kalman oracle handles diagonal noise only")
+        if covariance is not None:
+            raise TypeError("precomputed covariances are not supported here")
 
         Pinf = kernel.stationary_covariance()
         X_prev = jax.tree_util.tree_map(
@@ -71,25 +80,28 @@ class KalmanSolver(Solver):
         self._init(X=X, A=A, H=H, s=s, K=K)
 
     def variance(self) -> Array:
-        raise NotImplementedError
+        raise NotImplementedError(_ORACLE_ONLY)
 
     def covariance(self) -> Array:
-        raise NotImplementedError
+        raise NotImplementedError(_ORACLE_ONLY)
 
     def normalization(self) -> Array:
-        return 0.5 * jnp.sum(jnp.log(2 * np.pi * self.s))
+        n = self.s.shape[0]
+        return 0.5 * (jnp.sum(jnp.log(self.s)) + n * np.log(2 * np.pi))
 
     def solve_triangular(self, y: Array, *, transpose: bool = False) -> Array:
-        assert not transpose
-        return kalman_filter(self.A, self.H, self.K, y) / jnp.sqrt(self.s)
+        if transpose:
+            raise NotImplementedError(_ORACLE_ONLY)
+        innovations = kalman_filter(self.A, self.H, self.K, y)
+        return innovations * jax.lax.rsqrt(self.s)
 
     def dot_triangular(self, y: Array) -> Array:
-        raise NotImplementedError
+        raise NotImplementedError(_ORACLE_ONLY)
 
     def condition(
         self, kernel: Kernel, X_test: Array | None, noise: Noise
     ) -> Any:
-        raise NotImplementedError
+        raise NotImplementedError(_ORACLE_ONLY)
 
 
 @jax.jit
@@ -129,5 +141,5 @@ def kalman_filter(
         m_post = m_pred + K_k * v_k
         return m_post, v_k
 
-    init = jnp.zeros_like(H[0])
-    return jax.lax.scan(step, init, (A, H, K, y))[1]
+    m0 = jnp.zeros_like(H[0])
+    return jax.lax.scan(step, m0, (A, H, K, y))[1]
