@@ -10,6 +10,7 @@ EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
 
 FAST = [
     "quickstart.py",
+    "derivative_observations.py",
     "kernels_algebra.py",
     "geometry_and_distances.py",
     "transforms_and_multivariate.py",
