@@ -25,6 +25,9 @@ BENCH_DETAILS.json.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -33,6 +36,35 @@ import numpy as np
 
 N_MAIN = 100_000
 BASELINE_SECONDS = 8.49e-3  # celerite2 C++ (1-thread CPU), N=1e5, BASELINE.md
+
+
+def maybe_enable_pallas_scan(details):
+    """Gate the single-pass Pallas scan behind an isolated A/B check.
+
+    The kernel is validated end-to-end (value parity + speed win on the
+    headline workload) in a subprocess with a hard timeout, so a Mosaic
+    miscompile or a device hang can cost at most the timeout — the main
+    measurements below always run. On success the flag is exported for this
+    process and every jit trace below picks the Pallas strategy up through
+    ``pallas_scan.supports``.
+    """
+    if jax.default_backend() != "tpu":
+        return
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "benchmarks", "pallas_scan_flip.py")],
+            cwd=here,
+            timeout=240,
+            capture_output=True,
+            text=True,
+        )
+        verdict = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as exc:  # noqa: BLE001 - containment is the point
+        verdict = {"ok": False, "why": f"{type(exc).__name__}: {exc}"}
+    details["pallas_scan_gate"] = verdict
+    if verdict.get("ok"):
+        os.environ["TINYGP_TPU_PALLAS_SCAN"] = "1"
 
 
 def device_seconds_per_eval(fn, params, *args, iters=50):
@@ -78,6 +110,7 @@ def main():
 
     rng = np.random.default_rng(42)
     details = {"device": str(jax.devices()[0]), "dtype": "float32"}
+    maybe_enable_pallas_scan(details)
 
     # --- headline: quasisep Matern32 log-lik, N = 1e5, parallel scan ---
     X = jnp.asarray(np.sort(rng.uniform(0, 10, N_MAIN)), dtype=jnp.float32)

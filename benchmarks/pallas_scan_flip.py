@@ -1,0 +1,108 @@
+"""End-to-end gate for the single-pass Pallas monoid scan.
+
+Run on the real TPU by ``bench.py`` (in a subprocess, under a timeout, so a
+Mosaic miscompile or device hang can never take the benchmark down). Decides
+whether ``TINYGP_TPU_PALLAS_SCAN=1`` is safe AND profitable for the headline
+workload by measuring the same quasiseparable Matern-3/2 log-likelihood both
+ways and checking the values agree.
+
+Prints exactly one JSON line:
+  {"ok": bool, "why": str, "t_off_s": float, "t_on_s": float}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N = 100_000
+ITERS = 50
+
+
+def _loglik_fn():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tinygp_tpu import GaussianProcess
+    from tinygp_tpu.kernels import quasisep
+
+    rng = np.random.default_rng(42)
+    X = jnp.asarray(np.sort(rng.uniform(0, 10, N)), dtype=jnp.float32)
+    y = jnp.asarray(rng.normal(size=N), dtype=jnp.float32)
+
+    def loglik(params):
+        kernel = params["amp"] * quasisep.Matern32(scale=params["scale"])
+        gp = GaussianProcess(kernel, X, diag=0.1, assume_sorted=True)
+        return gp.log_probability(y)
+
+    params = {"amp": jnp.float32(1.5), "scale": jnp.float32(2.5)}
+    return jax, jnp, loglik, params
+
+
+def _timed(jax, jnp, loglik, params):
+    """Value + seconds/eval with a serial value-chained loop (single length;
+    the off/on comparison shares the fixed overhead, which therefore cancels
+    in the *ratio* even without the two-length differencing bench.py uses)."""
+
+    @jax.jit
+    def run(params):
+        def body(i, carry):
+            p = jax.tree_util.tree_map(
+                lambda x: x * (1.0 + 1e-6 * jnp.tanh(carry)), params
+            )
+            return carry + 1e-6 * jnp.tanh(loglik(p))
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    value = float(jax.jit(loglik)(params))
+    float(run(params))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(params))
+        best = min(best, time.perf_counter() - t0)
+    return value, best / ITERS
+
+
+def main() -> None:
+    result = {"ok": False, "why": "", "t_off_s": None, "t_on_s": None}
+    try:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            result["why"] = f"backend is {jax.default_backend()}, not tpu"
+            print(json.dumps(result))
+            return
+
+        # Fresh closures per variant: the flag is read at trace time, and
+        # reusing one function object would hit the first variant's jit cache.
+        os.environ["TINYGP_TPU_PALLAS_SCAN"] = "0"
+        jax_, jnp, loglik, params = _loglik_fn()
+        v_off, t_off = _timed(jax_, jnp, loglik, params)
+        result["t_off_s"] = t_off
+
+        os.environ["TINYGP_TPU_PALLAS_SCAN"] = "1"
+        jax_, jnp, loglik, params = _loglik_fn()
+        v_on, t_on = _timed(jax_, jnp, loglik, params)
+        result["t_on_s"] = t_on
+
+        rel = abs(v_on - v_off) / max(1.0, abs(v_off))
+        if rel > 1e-5:
+            result["why"] = f"value mismatch: off={v_off} on={v_on}"
+        elif t_on >= t_off:
+            result["why"] = f"no speedup: on={t_on:.2e}s off={t_off:.2e}s"
+        else:
+            result["ok"] = True
+            result["why"] = f"parity ok (rel={rel:.1e}), {t_off / t_on:.2f}x"
+    except Exception as exc:  # noqa: BLE001 - the whole point is containment
+        result["why"] = f"{type(exc).__name__}: {exc}"
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
