@@ -52,6 +52,20 @@ class GaussianProcess(Module):
             :meth:`condition`.
         **solver_kwargs: Forwarded to the solver (e.g. ``parallel=…``,
             ``assume_sorted=…`` for the quasiseparable solver).
+
+    Examples:
+        Build a GP, score data, and condition on it:
+
+        >>> import jax.numpy as jnp
+        >>> from tinygp_tpu import GaussianProcess, kernels
+        >>> X = jnp.linspace(0.0, 5.0, 8)
+        >>> y = jnp.sin(X)
+        >>> gp = GaussianProcess(kernels.ExpSquared(scale=1.0), X, diag=0.01)
+        >>> bool(jnp.isfinite(gp.log_probability(y)))
+        True
+        >>> _, cond = gp.condition(y, jnp.linspace(0.0, 5.0, 11))
+        >>> cond.loc.shape
+        (11,)
     """
 
     num_data: int = static_field()

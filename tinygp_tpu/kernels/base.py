@@ -47,6 +47,19 @@ class Kernel(Module):
     :meth:`evaluate`, which receives a *single pair* of input points (scalars
     or ``(n_dim,)`` arrays). All batching/broadcasting over datasets is
     handled here via ``vmap``.
+
+    Examples:
+        Kernels compose with ``+`` and ``*`` (scalars lift to
+        :class:`Constant`), and calling one builds the full matrix:
+
+        >>> import jax.numpy as jnp
+        >>> from tinygp_tpu import kernels
+        >>> k = 1.5 * kernels.Matern32(scale=2.0) + 0.1
+        >>> K = k(jnp.linspace(0, 1, 4), jnp.linspace(0, 1, 6))
+        >>> K.shape
+        (4, 6)
+        >>> float(jnp.round(k.evaluate(0.3, 0.3), 5))
+        1.6
     """
 
     def evaluate(self, X1: Array, X2: Array) -> Array:

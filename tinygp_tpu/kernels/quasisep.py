@@ -17,6 +17,18 @@ TPU-first notes: the :class:`SHO` propagator is written branch-free
 (guarded ``where`` selects instead of nested ``lax.cond``) so it vectorizes
 cleanly under ``vmap``/``pjit`` and keeps reverse-mode gradients NaN-free at
 the critical damping boundary.
+
+Examples:
+    A quasiseparable kernel routes the GP through the O(N) solver
+    automatically; inputs must be sorted:
+
+    >>> import jax.numpy as jnp
+    >>> from tinygp_tpu import GaussianProcess
+    >>> from tinygp_tpu.kernels import quasisep
+    >>> X = jnp.linspace(0.0, 10.0, 500)
+    >>> gp = GaussianProcess(quasisep.Matern32(scale=1.5), X, diag=0.1)
+    >>> bool(jnp.isfinite(gp.log_probability(jnp.sin(X))))
+    True
 """
 
 from __future__ import annotations

@@ -2,6 +2,19 @@
 
 API parity: ``/root/reference/src/tinygp/transforms.py:23-162``
 (``Transform``, ``Linear``, ``Cholesky``, ``Subspace``).
+
+Examples:
+    A multivariate kernel with one length scale per input dimension:
+
+    >>> import jax.numpy as jnp
+    >>> from tinygp_tpu import kernels, transforms
+    >>> k = transforms.Linear(
+    ...     scale=1.0 / jnp.array([2.0, 0.5]),
+    ...     kernel=kernels.ExpSquared(),
+    ... )
+    >>> X = jnp.zeros((5, 2))
+    >>> k(X, X).shape
+    (5, 5)
 """
 
 from __future__ import annotations
