@@ -87,3 +87,78 @@ def test_sharded_loglik_rejects_uneven(mesh, data):
     kernel = quasisep.Matern32(scale=1.0)
     with pytest.raises(ValueError, match="divide evenly"):
         sharded_loglik(kernel, X[:251], y[:251], diag=0.1, mesh=mesh)
+
+
+def test_sharded_loglik_chains_2d_mesh(data):
+    """Chains × sequence on a (2, 4) mesh vs a per-chain single-device loop."""
+    from tinygp_tpu.parallel.scan import sharded_loglik_chains
+
+    X, y = data
+    mesh2d = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 4), ("chains", "data")
+    )
+    scales = jnp.asarray([1.3, 2.1, 0.8, 3.0])
+    ys = jnp.stack([y, -y, 0.5 * y, y**2 - 1.0])
+
+    batched_kernel = jax.vmap(lambda s: quasisep.Matern32(scale=s))(scales)
+
+    got = jax.jit(
+        lambda k, ys: sharded_loglik_chains(
+            k, X, ys, diag=0.1, mesh=mesh2d
+        )
+    )(batched_kernel, ys)
+    assert got.shape == (4,)
+
+    for c in range(4):
+        gp = GaussianProcess(
+            quasisep.Matern32(scale=scales[c]), X, diag=0.1,
+            assume_sorted=True,
+        )
+        assert_allclose(got[c], gp.log_probability(ys[c]))
+
+
+def test_sharded_loglik_chains_gradients(data):
+    from tinygp_tpu.parallel.scan import sharded_loglik_chains
+
+    X, y = data
+    mesh2d = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 4), ("chains", "data")
+    )
+    ys = jnp.stack([y, -y])
+
+    def total(scales):
+        k = jax.vmap(lambda s: quasisep.Matern32(scale=s))(scales)
+        return jnp.sum(
+            sharded_loglik_chains(k, X, ys, diag=0.1, mesh=mesh2d)
+        )
+
+    def total_single(scales):
+        out = 0.0
+        for c in range(2):
+            gp = GaussianProcess(
+                quasisep.Matern32(scale=scales[c]), X, diag=0.1,
+                assume_sorted=True,
+            )
+            out = out + gp.log_probability(ys[c])
+        return out
+
+    scales = jnp.asarray([1.5, 2.5])
+    assert_allclose(
+        jax.jit(jax.grad(total))(scales), jax.grad(total_single)(scales)
+    )
+
+
+def test_sharded_loglik_chains_validation(data):
+    from tinygp_tpu.parallel.scan import sharded_loglik_chains
+
+    X, y = data
+    mesh2d = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 4), ("chains", "data")
+    )
+    k = jax.vmap(lambda s: quasisep.Matern32(scale=s))(jnp.asarray([1.0, 2.0, 3.0]))
+    with pytest.raises(ValueError, match="chains must divide"):
+        sharded_loglik_chains(
+            k, X, jnp.stack([y, y, y]), diag=0.1, mesh=mesh2d
+        )
+    with pytest.raises(ValueError, match="must be \\(num_chains"):
+        sharded_loglik_chains(k, X, y, diag=0.1, mesh=mesh2d)

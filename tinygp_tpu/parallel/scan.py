@@ -28,6 +28,7 @@ __all__ = [
     "sharded_affine_scan",
     "sharded_riccati_scan",
     "sharded_loglik",
+    "sharded_loglik_chains",
 ]
 
 from functools import partial
@@ -224,28 +225,10 @@ def sharded_loglik(
     diag = jnp.broadcast_to(jnp.asarray(diag, y.dtype), y.shape)
 
     def local(X_loc, y_loc, diag_loc):
-        axis_idx = jax.lax.axis_index(axis)
-        # Left-neighbor boundary coordinate via ppermute (device d receives
-        # the last coordinate of device d-1; device 0 keeps its own first —
-        # matching the single-device convention X_prev[0] = X[0]).
-        perm = [(i, (i + 1) % devices) for i in range(devices)]
-        left = jax.lax.ppermute(X_loc[-1:], axis, perm)
-        left = jnp.where(axis_idx == 0, X_loc[:1], left)
-        X_prev = jnp.concatenate([left, X_loc[:-1]])
-
-        Pinf = kernel.stationary_covariance()
-        from tinygp_tpu.kernels.quasisep import _anchor, _mT, _vm
-        from tinygp_tpu.solvers.quasisep.block import ensure_dense
-
-        a = ensure_dense(
-            _mT(jax.vmap(kernel.transition_matrix)(X_prev, X_loc))
+        X_prev = _left_shifted_coords(X_loc, axis, devices)
+        return _one_chain_local(
+            kernel, X_loc, X_prev, y_loc, diag_loc, axis=axis
         )
-        t = jax.vmap(kernel.coord_to_sortable)(X_loc)
-        h = _anchor(jax.vmap(kernel.observation_model)(X_loc), t)
-        q = _vm(h, Pinf)
-        d = jnp.sum(q * h, axis=1) + diag_loc
-        p = _vm(h, a)
-        return _local_loglik_pieces(d, p, q, a, y_loc, axis_name=axis)
 
     spec = P(axis)
     fn = shard_map(
@@ -256,3 +239,99 @@ def sharded_loglik(
         check_vma=False,
     )
     return fn(X, y, diag)
+
+
+def _left_shifted_coords(X_loc: Array, axis: str, devices: int) -> Array:
+    """The previous-point coordinate for every local point.
+
+    Device d needs the last coordinate of device d-1 for its first
+    transition; one ``ppermute`` moves it. Device 0 keeps its own first
+    coordinate, matching the single-device convention ``X_prev[0] = X[0]``.
+    """
+    axis_idx = jax.lax.axis_index(axis)
+    perm = [(i, (i + 1) % devices) for i in range(devices)]
+    left = jax.lax.ppermute(X_loc[-1:], axis, perm)
+    left = jnp.where(axis_idx == 0, X_loc[:1], left)
+    return jnp.concatenate([left, X_loc[:-1]])
+
+
+def _one_chain_local(kernel, X_loc, X_prev, y_loc, diag_loc, *, axis: str):
+    """Shard-local log-likelihood pieces for one kernel/observation set."""
+    Pinf = kernel.stationary_covariance()
+    from tinygp_tpu.kernels.quasisep import _anchor, _mT, _vm
+    from tinygp_tpu.solvers.quasisep.block import ensure_dense
+
+    a = ensure_dense(_mT(jax.vmap(kernel.transition_matrix)(X_prev, X_loc)))
+    t = jax.vmap(kernel.coord_to_sortable)(X_loc)
+    h = _anchor(jax.vmap(kernel.observation_model)(X_loc), t)
+    q = _vm(h, Pinf)
+    d = jnp.sum(q * h, axis=1) + diag_loc
+    p = _vm(h, a)
+    return _local_loglik_pieces(d, p, q, a, y_loc, axis_name=axis)
+
+
+def sharded_loglik_chains(
+    kernel,
+    X: Array,
+    y: Array,
+    *,
+    diag: Array | float,
+    mesh: Mesh,
+    data_axis: str = "data",
+    chain_axis: str = "chains",
+) -> Array:
+    """Chain-parallel × sequence-parallel log-likelihoods on a 2-D mesh.
+
+    The pod-scale composition: hyperparameter chains are sharded over
+    ``chain_axis`` (e.g. across hosts) while each chain's time axis is
+    sharded over ``data_axis`` (across the chips of a host). ``kernel`` is a
+    quasiseparable kernel whose array leaves carry a leading chain dimension
+    (build one with ``jax.vmap`` over the constructor or by stacking
+    parameters); ``X`` of shape ``(N,)`` is shared by all chains; ``y`` has
+    shape ``(C, N)``. Returns the ``(C,)`` per-chain log-likelihoods.
+
+    Inside each shard the chain dimension is a plain ``vmap`` — the
+    ``data_axis`` collectives batch over it — so every chip computes its
+    local slice of every local chain with no cross-axis traffic.
+    """
+    if y.ndim != 2:
+        raise ValueError(f"y must be (num_chains, N); got shape {y.shape}")
+    num_chains, n = y.shape
+    data_devices = mesh.shape[data_axis]
+    chain_devices = mesh.shape[chain_axis]
+    if n % data_devices or X.shape[0] != n:
+        raise ValueError(
+            f"data length {n} must match X and divide evenly over mesh "
+            f"axis {data_axis!r} ({data_devices} devices)"
+        )
+    if num_chains % chain_devices:
+        raise ValueError(
+            f"{num_chains} chains must divide evenly over mesh axis "
+            f"{chain_axis!r} ({chain_devices} devices)"
+        )
+
+    diag = jnp.broadcast_to(jnp.asarray(diag, y.dtype), y.shape)
+
+    def local(kernel_loc, X_loc, y_loc, diag_loc):
+        X_prev = _left_shifted_coords(X_loc, data_axis, data_devices)
+
+        def one(kern, y1, diag1):
+            return _one_chain_local(
+                kern, X_loc, X_prev, y1, diag1, axis=data_axis
+            )
+
+        return jax.vmap(one)(kernel_loc, y_loc, diag_loc)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(chain_axis),
+            P(data_axis),
+            P(chain_axis, data_axis),
+            P(chain_axis, data_axis),
+        ),
+        out_specs=P(chain_axis),
+        check_vma=False,
+    )
+    return fn(kernel, X, y, diag)
