@@ -50,14 +50,15 @@ params = {
     "log_noise": jnp.asarray(-1.0),
 }
 
-# --- MAP with optax ------------------------------------------------------
-opt = optax.adam(0.05)
-state = opt.init(params)
-loss_grad = jax.jit(jax.value_and_grad(neg_log_posterior))
-for _ in range(200):
-    loss, grads = loss_grad(params)
-    updates, state = opt.update(grads, state)
-    params = optax.apply_updates(params, updates)
+# --- MAP with the compiled fitter ----------------------------------------
+# fit_map drives optax inside one lax.scan: 200 steps = ONE dispatch (a
+# hand-rolled Python loop pays the tunnel round trip 200 times).
+from tinygp_tpu import fit_map
+
+fit = fit_map(
+    neg_log_posterior, params, optimizer=optax.adam(0.05), num_steps=200
+)
+params, loss = fit.params, fit.loss
 print(f"MAP: loss={float(loss):.2f}, "
       f"amp={float(jnp.exp(params['log_amp'])):.2f}, "
       f"scale={float(jnp.exp(params['log_scale'])):.2f}, "

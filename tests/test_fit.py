@@ -1,0 +1,70 @@
+"""The compiled MAP fitter."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tinygp_tpu import GaussianProcess, fit_map, kernels
+
+
+@pytest.fixture
+def gp_data():
+    rng = np.random.default_rng(11)
+    X = jnp.asarray(np.sort(rng.uniform(0, 8, 60)))
+    y = jnp.sin(1.3 * X) + 0.1 * jnp.asarray(rng.normal(size=60))
+    return X, y
+
+
+def test_quadratic_exact():
+    target = {"a": jnp.asarray([1.0, -2.0]), "b": jnp.asarray(3.0)}
+    loss = lambda p: (
+        jnp.sum((p["a"] - target["a"]) ** 2) + (p["b"] - target["b"]) ** 2
+    )
+    init = {"a": jnp.zeros(2), "b": jnp.asarray(0.0)}
+    res = fit_map(loss, init, num_steps=800, learning_rate=0.1)
+    assert float(res.loss) < 1e-6
+    np.testing.assert_allclose(np.asarray(res.params["a"]), [1.0, -2.0], atol=1e-3)
+    assert bool(res.converged)
+    assert res.losses.shape == (800,)
+
+
+def test_gp_hyperparameters_improve(gp_data):
+    X, y = gp_data
+
+    def loss(p):
+        kernel = jnp.exp(p["log_amp"]) * kernels.ExpSquared(
+            scale=jnp.exp(p["log_scale"])
+        )
+        return -GaussianProcess(kernel, X, diag=0.01).log_probability(y)
+
+    init = {"log_amp": jnp.asarray(2.0), "log_scale": jnp.asarray(-2.0)}
+    res = fit_map(loss, init, num_steps=300, learning_rate=0.1)
+    assert float(res.loss) < float(loss(init)) - 1.0
+    # Best-so-far loss must match re-evaluating the returned params.
+    np.testing.assert_allclose(
+        float(loss(res.params)), float(res.loss), rtol=1e-5
+    )
+
+
+def test_nonfinite_excursions_do_not_win():
+    # loss = -log(x) for x>0; negative x yields nan. Start near zero with a
+    # hot learning rate so the iterates overshoot into the invalid region.
+    loss = lambda p: -jnp.log(p["x"]) + p["x"]
+    res = fit_map(loss, {"x": jnp.asarray(0.05)}, num_steps=200,
+                  learning_rate=0.5)
+    assert np.isfinite(float(res.loss))
+    assert float(res.loss) >= 1.0 - 1e-5  # min of x - log x is 1 at x=1
+
+
+def test_custom_optimizer():
+    import optax
+
+    loss = lambda p: jnp.sum(p**2)
+    res = fit_map(
+        loss,
+        jnp.ones(3),
+        optimizer=optax.sgd(0.2),
+        num_steps=100,
+    )
+    assert float(res.loss) < 1e-4

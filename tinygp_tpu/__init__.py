@@ -15,6 +15,10 @@ from tinygp_tpu import (
     solvers as solvers,
     transforms as transforms,
 )
+from tinygp_tpu.fit import (
+    FitResult as FitResult,
+    fit_map as fit_map,
+)
 from tinygp_tpu.gp import (
     ConditionResult as ConditionResult,
     GaussianProcess as GaussianProcess,
