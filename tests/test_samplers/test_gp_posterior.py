@@ -61,14 +61,19 @@ def _moments(tree):
     )
 
 
+NUM_CHAINS = 64
+
+
 def test_nuts_and_smc_agree_on_gp_posterior():
-    # 256-chain NUTS...
+    # Many-chain NUTS... (sizes tuned so this stays meaningful but cheap on
+    # the single-core CI host; the full-size 256-chain run lives on TPU in
+    # benchmarks/sampler_rate.py)
     samples, info = run_mcmc(
         jax.random.PRNGKey(0),
         log_posterior,
         PARAMS0,
-        num_chains=256,
-        num_warmup=250,
+        num_chains=NUM_CHAINS,
+        num_warmup=200,
         num_samples=128,
         max_tree_depth=5,
         jitter_init=0.5,
@@ -78,19 +83,19 @@ def test_nuts_and_smc_agree_on_gp_posterior():
 
     # ... vs gradient-free tempered SMC from the prior.
     key = jax.random.PRNGKey(1)
-    n_part = 2048
+    n_part = 512
     parts = {
         k: jnp.asarray(_rng.standard_normal(n_part) * 1.0 + float(v))
         for k, v in PARAMS0.items()
     }
-    smc = run_smc(key, log_prior, log_like, parts, num_mutations=8)
+    smc = run_smc(key, log_prior, log_like, parts, num_mutations=6)
     mean_s, sd_s, _ = _moments(smc.particles)
 
     for k in PARAMS0:
         # Agreement within Monte-Carlo error: the NUTS standard error is
         # sd/sqrt(ESS); be conservative and take ESS = num_chains (one
         # independent draw per chain), plus the SMC cloud's own noise.
-        mcse = sd_n[k] / np.sqrt(256.0) + sd_s[k] / np.sqrt(256.0)
+        mcse = sd_n[k] / np.sqrt(NUM_CHAINS) + sd_s[k] / np.sqrt(NUM_CHAINS)
         assert abs(mean_n[k] - mean_s[k]) < max(4 * mcse, 0.1), (
             k, mean_n[k], mean_s[k], sd_n[k], sd_s[k],
         )
