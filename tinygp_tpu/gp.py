@@ -150,9 +150,13 @@ class GaussianProcess(Module):
         """The marginal log probability of ``y`` under this process.
 
         Non-finite results (e.g. from an indefinite covariance) are mapped to
-        ``-inf`` so samplers reject rather than propagate NaNs.
+        ``-inf`` so samplers reject rather than propagate NaNs. Routed
+        through :meth:`Solver.log_likelihood` so solvers with a fused
+        factor-and-whiten path (the quasiseparable one) skip materializing
+        the whitened residual.
         """
-        return self._whiten(y)[1]
+        lp = self.solver.log_likelihood(y - self.loc)
+        return jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
 
     def condition(
         self,

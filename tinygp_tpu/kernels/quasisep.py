@@ -156,6 +156,47 @@ class Quasisep(Kernel):
             diag=DiagQSM(d=d), lower=StrictLowerTriQSM(p=p, q=q, a=a)
         )
 
+    def to_stacked_ssm(self, X: Array) -> tuple[Array, Array, Array, Array]:
+        """``(d, ps, qs, as_)`` of ``K(X, X)`` in the scans' stacked layout.
+
+        Same math as :meth:`to_symm_qsm`, but every array is *generated*
+        components-first — ``d`` of shape ``(N,)``, generators ``ps``/``qs``
+        of ``(m, N)``, transitions ``as_`` of ``(m*m, N)`` — which is the
+        native operand layout of the blocked parallel scans. Building here
+        with ``vmap(out_axes=-1)`` means the fused log-likelihood path never
+        pays an HBM transpose to repack ``(N, m, m)`` arrays.
+
+        Raises ``NotImplementedError`` for kernels with lazily block-
+        diagonal transitions (:class:`Sum`); callers fall back to the QSM
+        route, which densifies the blocks where needed.
+        """
+        Pinf = self.stationary_covariance()
+        if isinstance(Pinf, Block):
+            raise NotImplementedError(
+                "stacked SSM generation needs dense transitions"
+            )
+        X_prev = jax.tree_util.tree_map(
+            lambda x: jnp.append(x[0], x[:-1]), X
+        )
+        raw = jax.vmap(self.transition_matrix, out_axes=-1)(X_prev, X)
+        if not isinstance(raw, jax.Array):
+            raise NotImplementedError(
+                "stacked SSM generation needs dense transitions"
+            )
+        m, _, n = raw.shape
+        # The adjoint a = raw^T per point, stacked row-major: row i*m+j of
+        # as_ holds a[i, j] = raw[j, i].
+        as_ = jnp.swapaxes(raw, 0, 1).reshape(m * m, n)
+        t = jax.vmap(self.coord_to_sortable)(X)
+        h = jax.vmap(self.observation_model, out_axes=-1)(X)
+        h = jnp.where(jnp.isnan(t)[None, :], 0.0, h)
+        # All contractions as mul+reduce (see _vm: a TPU dot with a
+        # broadcast producer crashes the AOT compile helper).
+        qs = jnp.sum(Pinf[:, :, None] * h[:, None, :], axis=0)
+        d = jnp.sum(qs * h, axis=0)
+        ps = jnp.sum(raw * h[None, :, :], axis=1)
+        return d, ps, qs, as_
+
     def to_general_qsm(self, X1: Array, X2: Array) -> GeneralQSM:
         """The rectangular representation of ``K(X1, X2)``."""
         sortable = jax.vmap(self.coord_to_sortable)

@@ -16,6 +16,7 @@ generators and is scan-free except for the ``qsm_mul`` coupling recurrences.
 from __future__ import annotations
 
 __all__ = [
+    "stacked_loglik_terms",
     "elementwise_add",
     "elementwise_mul",
     "qsm_mul",
@@ -40,10 +41,13 @@ import jax.numpy as jnp
 
 from tinygp_tpu.helpers import Array, pdot
 from tinygp_tpu.solvers.quasisep.block import ensure_dense
+from tinygp_tpu.solvers.quasisep import scan as _scan
 from tinygp_tpu.solvers.quasisep.scan import (
     affine_scan,
+    affine_scan_stacked,
     congruence_scan,
     riccati_scan,
+    riccati_scan_stacked,
 )
 
 # ---------------------------------------------------------------------------
@@ -158,7 +162,45 @@ def symm_solve_generators(d, p, q, a, *, parallel: bool = False):
     return lam, t, s, ell
 
 
-# -- tinygp-compatible named aliases ----------------------------------------
+# ---------------------------------------------------------------------------
+# Fused log-likelihood on stacked operands: factorization and whitening in
+# one pass, with every intermediate in the scans' native (components, N)
+# layout — no (N, m, k) materialization, no pack/unpack transposes, and the
+# single-pass Pallas scan (when enabled) consumes the operands directly.
+# ---------------------------------------------------------------------------
+
+
+def stacked_loglik_terms(
+    d: Array, ps: Array, qs: Array, as_: Array, y: Array
+) -> tuple[Array, Array]:
+    """``(alpha . alpha, sum(log c))`` for ``K = diag(d) + tril + tril^T``.
+
+    Operands are stacked: ``d``/``y`` of shape ``(N,)``, generators
+    ``ps``/``qs`` of ``(m, N)``, dense transitions ``as_`` of ``(m*m, N)``.
+    Mathematically identical to ``symm_cholesky`` + ``lower_triangular_
+    solve`` (the reference's factor-then-whiten pair,
+    ``/root/reference/src/tinygp/solvers/quasisep/ops.py:352-365,463-472``)
+    but fused: the Cholesky emissions feed the solve without leaving the
+    stacked layout.
+    """
+    m = ps.shape[0]
+    Fs = riccati_scan_stacked(d, ps, qs, as_)
+
+    # Cholesky emissions: c_k = sqrt(d_k - p^T F p), w_k = (q - a F p) / c.
+    Fp = _scan._smv(Fs, ps, m, m)
+    c2 = d - jnp.sum(ps * Fp, axis=0)
+    c = jnp.sqrt(c2)
+    inv_c = 1.0 / c
+    w = (qs - _scan._smv(as_, Fp, m, m)) * inv_c
+
+    # Whitening solve L alpha = y with L = diag(c) + strict_lower(p, w, a):
+    # fold the diagonal into the transition (lower_triangular_solve math).
+    wd = w * inv_c
+    A = as_ - _scan._souter(wd, ps)
+    e = affine_scan_stacked(A, wd * y, m, 1)
+    alpha = (y - jnp.sum(ps * e, axis=0)) * inv_c
+
+    return jnp.sum(jnp.square(alpha)), jnp.sum(jnp.log(c))
 
 
 def lower_matmul(p, q, a, x):

@@ -45,7 +45,16 @@ which is what the emission formulas consume.
 
 from __future__ import annotations
 
-__all__ = ["affine_scan", "congruence_scan", "riccati_scan", "monoid_scan"]
+__all__ = [
+    "affine_scan",
+    "affine_scan_stacked",
+    "congruence_scan",
+    "riccati_scan",
+    "riccati_scan_stacked",
+    "monoid_scan",
+]
+
+import functools
 
 import jax
 import numpy as np
@@ -400,23 +409,40 @@ def _sshift_lane(X: Array, fill: Array, reverse: bool) -> Array:
     return jnp.concatenate([X[..., 1:], fill], axis=-1)
 
 
-def _make_affine_parallel(reverse: bool, exclusive: bool):
-    """Parallel affine scan with a hand-written transpose.
+def _affine_bwd_s(As, es, ebar_s, m, r, *, reverse: bool, exclusive: bool):
+    """Stacked cotangents of the affine scan.
 
-    JAX's AD of the blocked multi-level scan stores residuals at every
-    level and phase; the hand-written VJP replaces all of that with one
-    opposite-direction affine scan (the true transpose of a linear
-    recurrence) plus elementwise outer products:
+    The adjoint of a linear recurrence is ONE opposite-direction affine
+    scan (the true transpose) plus elementwise outer products:
 
         gbar_k = A~_{k+1}^T gbar_{k+1} + ebar_{k(+1)}   [opposite direction]
         Bbar_k = gbar_k
         Abar_k = gbar_k g_{k-1}^T
 
-    (indices shown for the forward scan; reverse mirrors). The backward
-    calls the *plain* implementation, so higher-order AD still works.
-    Residuals are stored stacked — (N, m, m) residuals crossing a loop
-    boundary (e.g. a leapfrog while_loop) would materialize with ~256x
-    tile padding, enough to OOM a 1024-chain NUTS run.
+    (indices shown for the forward scan; reverse mirrors). Everything is
+    stored stacked — (N, m, m) residuals crossing a loop boundary (e.g. a
+    leapfrog while_loop) would materialize with ~256x tile padding, enough
+    to OOM a 1024-chain NUTS run.
+    """
+    At = _st(As, m, m)
+    if not exclusive:
+        # The adjoint of the inclusive scan consumes transitions shifted by
+        # one step (identity fill), and pairs gbar with the shifted
+        # (exclusive) outputs.
+        At = _sshift_lane(At, _seye(m, At.dtype), reverse)
+        es = _sshift_lane(es, jnp.zeros((), es.dtype), not reverse)
+    gbar = _affine_scan_s(
+        At, ebar_s, m, r, reverse=not reverse, exclusive=exclusive
+    )
+    Abar = _smm_t(gbar, es, m, r, m)
+    return Abar, gbar
+
+
+def _make_affine_parallel(reverse: bool, exclusive: bool):
+    """Parallel affine scan with a hand-written transpose (N-major edges).
+
+    The backward calls the *plain* implementation, so higher-order AD
+    still works.
     """
 
     @jax.custom_vjp
@@ -434,18 +460,38 @@ def _make_affine_parallel(reverse: bool, exclusive: bool):
     def bwd(res, ebar):
         As, es = res
         m, r = ebar.shape[-2], ebar.shape[-1]
-        At = _st(As, m, m)
-        if not exclusive:
-            # The adjoint of the inclusive scan consumes transitions
-            # shifted by one step (identity fill), and pairs gbar with the
-            # shifted (exclusive) outputs.
-            At = _sshift_lane(At, _seye(m, At.dtype), reverse)
-            es = _sshift_lane(es, jnp.zeros((), es.dtype), not reverse)
-        gbar = _affine_scan_s(
-            At, _pack3(ebar), m, r, reverse=not reverse, exclusive=exclusive
+        Abar, gbar = _affine_bwd_s(
+            As, es, _pack3(ebar), m, r, reverse=reverse, exclusive=exclusive
         )
-        Abar = _smm_t(gbar, es, m, r, m)
         return _unpack3(Abar, m, m), _unpack3(gbar, m, r)
+
+    scan.defvjp(fwd, bwd)
+    return scan
+
+
+def _make_affine_parallel_s(reverse: bool, exclusive: bool):
+    """The same scan with stacked (m*k, N) operands end to end.
+
+    Used by the fused log-likelihood path so neither the forward nor the
+    adjoint ever materializes an (N, m, k) layout (no pack/unpack
+    transposes through HBM). ``m``/``r`` are threaded statically.
+    """
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+    def scan(As, Bs, m, r):
+        return _affine_scan_s(As, Bs, m, r, reverse=reverse, exclusive=exclusive)
+
+    def fwd(As, Bs, m, r):
+        es = _affine_scan_s(
+            As, Bs, m, r, reverse=reverse, exclusive=exclusive
+        )
+        return es, (As, es)
+
+    def bwd(m, r, res, ebar_s):
+        As, es = res
+        return _affine_bwd_s(
+            As, es, ebar_s, m, r, reverse=reverse, exclusive=exclusive
+        )
 
     scan.defvjp(fwd, bwd)
     return scan
@@ -456,6 +502,30 @@ _AFFINE_PARALLEL = {
     for rev in (False, True)
     for exc in (False, True)
 }
+
+_AFFINE_PARALLEL_S = {
+    (rev, exc): _make_affine_parallel_s(rev, exc)
+    for rev in (False, True)
+    for exc in (False, True)
+}
+
+
+def affine_scan_stacked(
+    As: Array,
+    Bs: Array,
+    m: int,
+    r: int,
+    *,
+    reverse: bool = False,
+    exclusive: bool = True,
+) -> Array:
+    """Differentiable affine scan on stacked operands.
+
+    ``As``: ``(m*m, N)`` transitions; ``Bs``: ``(m*r, N)`` loads — the
+    native layout of the blocked scan (and of the single-pass Pallas
+    kernel), so no transposes are paid at either edge.
+    """
+    return _AFFINE_PARALLEL_S[(reverse, exclusive)](As, Bs, m, r)
 
 
 def affine_scan(
@@ -717,8 +787,8 @@ def _riccati_parallel_fwd(d, p, q, a):
     return _unpack3(Fs, m, m), (d, ps, qs, as_, Fs)
 
 
-def _riccati_parallel_bwd(res, Ybar):
-    """Adjoint of the Riccati flow via a congruence scan.
+def _riccati_bwd_s(res, Ybar_s):
+    """Adjoint of the Riccati flow via a congruence scan (all stacked).
 
     Linearizing ``phi(F) = a F a^T + u u^T / c2`` (``u = q - a F p``,
     ``c2 = d - p^T F p``) around the saved forward states gives
@@ -747,9 +817,7 @@ def _riccati_parallel_bwd(res, Ybar):
 
     # Gbar_k = Fbar_{k+1}: the right-exclusive suffix of the adjoint flow,
     # which is exactly what step k's input cotangents consume.
-    Gbar = _congruence_scan_s(
-        _st(atil, m, m), _pack3(Ybar), m, reverse=True
-    )
+    Gbar = _congruence_scan_s(_st(atil, m, m), Ybar_s, m, reverse=True)
 
     S = Gbar + _st(Gbar, m, m)
     Su = _smv(S, u, m, m)
@@ -762,10 +830,36 @@ def _riccati_parallel_bwd(res, Ybar):
     abar = _smm(_smm(S, as_, m, m, m), Fs, m, m, m) - _souter(
         Su, Fp
     ) * inv_c2
+    return dbar, pbar, qbar, abar
+
+
+def _riccati_parallel_bwd(res, Ybar):
+    m = res[1].shape[0]
+    dbar, pbar, qbar, abar = _riccati_bwd_s(res, _pack3(Ybar))
     return dbar, pbar.T, qbar.T, _unpack3(abar, m, m)
 
 
 _riccati_parallel.defvjp(_riccati_parallel_fwd, _riccati_parallel_bwd)
+
+
+@jax.custom_vjp
+def riccati_scan_stacked(d: Array, ps: Array, qs: Array, as_: Array) -> Array:
+    """Differentiable exclusive Riccati flow on stacked operands.
+
+    ``d``: ``(N,)`` diagonal; ``ps``/``qs``: ``(m, N)`` generators;
+    ``as_``: ``(m*m, N)`` dense transitions. Returns the stacked exclusive
+    prefix ``F`` of shape ``(m*m, N)`` — no layout changes at either edge,
+    for the fused log-likelihood path.
+    """
+    return _riccati_scan_s(d, ps, qs, as_, ps.shape[0])
+
+
+def _riccati_stacked_fwd(d, ps, qs, as_):
+    Fs = _riccati_scan_s(d, ps, qs, as_, ps.shape[0])
+    return Fs, (d, ps, qs, as_, Fs)
+
+
+riccati_scan_stacked.defvjp(_riccati_stacked_fwd, _riccati_bwd_s)
 
 
 def _dense_transitions(A: Array) -> Array:

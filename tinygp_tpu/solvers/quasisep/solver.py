@@ -26,7 +26,7 @@ import numpy as np
 
 from tinygp_tpu.helpers import Array
 from tinygp_tpu.kernels.base import Kernel
-from tinygp_tpu.noise import Noise
+from tinygp_tpu.noise import Diagonal, Noise
 from tinygp_tpu.solvers.quasisep.core import DiagQSM, LowerTriQSM, SymmQSM
 from tinygp_tpu.solvers.solver import Solver
 from tinygp_tpu.utils.module import static_field
@@ -64,6 +64,7 @@ class QuasisepSolver(Solver):
     X: Array
     matrix: SymmQSM
     factor: LowerTriQSM
+    ssm: Any
     parallel: bool = static_field()
 
     def __init__(
@@ -76,6 +77,7 @@ class QuasisepSolver(Solver):
         assume_sorted: bool = False,
         parallel: bool = True,
     ):
+        ssm = None
         if covariance is None:
             from tinygp_tpu.kernels.quasisep import Quasisep
 
@@ -85,6 +87,18 @@ class QuasisepSolver(Solver):
                 coords = kernel.coord_to_sortable(X)
                 matrix = _guard_sorted(matrix, coords)
             matrix = matrix + noise.to_qsm()
+            if parallel and isinstance(noise, Diagonal):
+                # Fused log-likelihood operands, generated in the scans'
+                # native stacked layout. Diagonal noise (and the sorted
+                # poison) live entirely in `matrix.diag.d`, so pairing that
+                # d with kernel-stacked generators matches the QSM route
+                # bit for bit. Kernels with lazy-Block transitions decline.
+                try:
+                    _, ps, qs, as_ = kernel.to_stacked_ssm(X)
+                except NotImplementedError:
+                    pass
+                else:
+                    ssm = (matrix.diag.d, ps, qs, as_)
         else:
             assert isinstance(covariance, SymmQSM)
             matrix = covariance
@@ -92,6 +106,7 @@ class QuasisepSolver(Solver):
             X=X,
             matrix=matrix,
             parallel=parallel,
+            ssm=ssm,
             factor=matrix.cholesky(parallel=parallel),
         )
 
@@ -109,6 +124,22 @@ class QuasisepSolver(Solver):
         if transpose:
             return self.factor.transpose().solve(y, parallel=self.parallel)
         return self.factor.solve(y, parallel=self.parallel)
+
+    def log_likelihood(self, r: Array) -> Array:
+        """Fused factor-and-whiten when stacked operands are available.
+
+        One pass in the stacked layout (no ``(N, m, m)`` intermediates, no
+        repacking transposes); under ``jit`` the eagerly-built ``factor``
+        is dead code for this path and XLA eliminates it.
+        """
+        if self.ssm is None or r.ndim != 1:
+            return super().log_likelihood(r)
+        from tinygp_tpu.solvers.quasisep.ops import stacked_loglik_terms
+
+        d, ps, qs, as_ = self.ssm
+        quad, logdet = stacked_loglik_terms(d, ps, qs, as_, r)
+        n = r.shape[0]
+        return -0.5 * (quad + n * np.log(2 * np.pi)) - logdet
 
     def dot_triangular(self, y: Array) -> Array:
         return self.factor.matmul(y, parallel=self.parallel)

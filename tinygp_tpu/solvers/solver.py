@@ -12,6 +12,8 @@ __all__ = ["Solver"]
 
 from typing import Any
 
+import jax.numpy as jnp
+
 from tinygp_tpu.helpers import Array
 from tinygp_tpu.kernels.base import Kernel
 from tinygp_tpu.noise import Noise
@@ -57,6 +59,17 @@ class Solver(Module):
     def solve_triangular(self, y: Array, *, transpose: bool = False) -> Array:
         """Solve ``L @ x = y`` (or ``L.T @ x = y`` when ``transpose``)."""
         raise NotImplementedError
+
+    def log_likelihood(self, r: Array) -> Array:
+        """The Gaussian log density of a centered residual ``r``.
+
+        ``-0.5 r^T K^{-1} r - log|L| - (N/2) log(2 pi)``. The default
+        whitens through :meth:`solve_triangular`; solvers with a fused
+        factor-and-whiten path override this (the quasiseparable solver
+        computes both terms in one stacked pass).
+        """
+        alpha = self.solve_triangular(r)
+        return -0.5 * jnp.sum(jnp.square(alpha)) - self.normalization()
 
     def dot_triangular(self, y: Array) -> Array:
         """Compute ``L @ y``."""
