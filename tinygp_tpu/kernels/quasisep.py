@@ -156,7 +156,9 @@ class Quasisep(Kernel):
             diag=DiagQSM(d=d), lower=StrictLowerTriQSM(p=p, q=q, a=a)
         )
 
-    def to_stacked_ssm(self, X: Array) -> tuple[Array, Array, Array, Array]:
+    def to_stacked_ssm(
+        self, X: Array, *, X_prev: Array | None = None
+    ) -> tuple[Array, Array, Array, Array]:
         """``(d, ps, qs, as_)`` of ``K(X, X)`` in the scans' stacked layout.
 
         Same math as :meth:`to_symm_qsm`, but every array is *generated*
@@ -165,6 +167,10 @@ class Quasisep(Kernel):
         native operand layout of the blocked parallel scans. Building here
         with ``vmap(out_axes=-1)`` means the fused log-likelihood path never
         pays an HBM transpose to repack ``(N, m, m)`` arrays.
+
+        ``X_prev`` overrides the previous-point coordinates (shard-local
+        callers supply the neighbor shard's boundary point); by default the
+        first point pairs with itself, making its transition the identity.
 
         Raises ``NotImplementedError`` for kernels with lazily block-
         diagonal transitions (:class:`Sum`); callers fall back to the QSM
@@ -175,9 +181,10 @@ class Quasisep(Kernel):
             raise NotImplementedError(
                 "stacked SSM generation needs dense transitions"
             )
-        X_prev = jax.tree_util.tree_map(
-            lambda x: jnp.append(x[0], x[:-1]), X
-        )
+        if X_prev is None:
+            X_prev = jax.tree_util.tree_map(
+                lambda x: jnp.append(x[0], x[:-1]), X
+            )
         raw = jax.vmap(self.transition_matrix, out_axes=-1)(X_prev, X)
         if not isinstance(raw, jax.Array):
             raise NotImplementedError(

@@ -74,17 +74,10 @@ def sharded_monoid_scan(combine, identity, elems, *, axis_name: str):
     return combine(prefix, local_excl)
 
 
-def sharded_affine_scan(
-    A: Array, B: Array, *, axis_name: str
+def _sharded_affine_stacked(
+    As: Array, Bs: Array, m: int, r: int, *, axis_name: str
 ) -> Array:
-    """Sharded forward-exclusive affine scan (inside ``shard_map``).
-
-    ``A``: local ``(n, m, m)`` transitions; ``B``: local ``(n, m, r)``
-    loads. Returns the local slice of the global exclusive prefix states.
-    """
-    m, r = B.shape[-2], B.shape[-1]
-    As = chip_scan._pack3(A)
-    Bs = chip_scan._pack3(B)
+    """Sharded forward-exclusive affine scan on stacked local operands."""
 
     def combine(earlier, later):
         A_e, B_e = earlier
@@ -101,27 +94,28 @@ def sharded_affine_scan(
     _, e = sharded_monoid_scan(
         combine, identity, (As, Bs), axis_name=axis_name
     )
+    return e
+
+
+def sharded_affine_scan(
+    A: Array, B: Array, *, axis_name: str
+) -> Array:
+    """Sharded forward-exclusive affine scan (inside ``shard_map``).
+
+    ``A``: local ``(n, m, m)`` transitions; ``B``: local ``(n, m, r)``
+    loads. Returns the local slice of the global exclusive prefix states.
+    """
+    m, r = B.shape[-2], B.shape[-1]
+    e = _sharded_affine_stacked(
+        chip_scan._pack3(A), chip_scan._pack3(B), m, r, axis_name=axis_name
+    )
     return chip_scan._unpack3(e, m, r)
 
 
-def sharded_riccati_scan(
-    d: Array,
-    p: Array,
-    q: Array,
-    a: Array,
-    *,
-    axis_name: str,
+def _sharded_riccati_stacked(
+    d: Array, ps: Array, qs: Array, as_: Array, m: int, *, axis_name: str
 ) -> Array:
-    """Sharded exclusive Riccati flow (inside ``shard_map``).
-
-    Same matrix-fraction monoid as the on-chip strategy
-    (:func:`tinygp_tpu.solvers.quasisep.scan.riccati_scan`); the cross-
-    device combine merges per-shard linear-fractional maps.
-    """
-    m = p.shape[1]
-    ps = p.T
-    qs = q.T
-    as_ = chip_scan._pack3(chip_scan._dense_transitions(a))
+    """Sharded exclusive Riccati flow on stacked local operands."""
     inv_d = 1.0 / d
 
     A0 = as_ - chip_scan._souter(qs, ps) * inv_d
@@ -158,32 +152,58 @@ def sharded_riccati_scan(
     _, F, _ = sharded_monoid_scan(
         combine, identity, (A0, F0, G0), axis_name=axis_name
     )
+    return F
+
+
+def sharded_riccati_scan(
+    d: Array,
+    p: Array,
+    q: Array,
+    a: Array,
+    *,
+    axis_name: str,
+) -> Array:
+    """Sharded exclusive Riccati flow (inside ``shard_map``).
+
+    Same matrix-fraction monoid as the on-chip strategy
+    (:func:`tinygp_tpu.solvers.quasisep.scan.riccati_scan`); the cross-
+    device combine merges per-shard linear-fractional maps.
+    """
+    m = p.shape[1]
+    F = _sharded_riccati_stacked(
+        d,
+        p.T,
+        q.T,
+        chip_scan._pack3(chip_scan._dense_transitions(a)),
+        m,
+        axis_name=axis_name,
+    )
     return chip_scan._unpack3(F, m, m)
 
 
-def _local_loglik_pieces(d, p, q, a, y, *, axis_name: str):
-    """Shard-local contributions to the marginal log-likelihood.
+def _stacked_loglik_pieces(d, ps, qs, as_, y, *, axis_name: str):
+    """Shard-local log-likelihood contributions, all stacked.
 
-    Runs the sharded Riccati flow for the Cholesky emissions, then the
-    sharded affine solve for the whitened residuals, and reduces the two
-    quadratic terms with a ``psum``.
+    The sharded twin of ``ops.stacked_loglik_terms``: the sharded Riccati
+    flow feeds the Cholesky emissions, those feed the sharded affine solve,
+    and the two scalar terms reduce with a ``psum``. No ``(n, m, m)``
+    intermediate exists on any shard.
     """
-    F = sharded_riccati_scan(d, p, q, a, axis_name=axis_name)
+    m = ps.shape[0]
+    Fs = _sharded_riccati_stacked(d, ps, qs, as_, m, axis_name=axis_name)
 
-    Fp = jnp.einsum("nij,nj->ni", F, p, precision="highest")
-    c2 = d - jnp.einsum("ni,ni->n", p, Fp, precision="highest")
+    Fp = chip_scan._smv(Fs, ps, m, m)
+    c2 = d - jnp.sum(ps * Fp, axis=0)
     c = jnp.sqrt(c2)
-    w = (q - jnp.einsum("nij,nj->ni", a, Fp, precision="highest")) / c[:, None]
+    inv_c = 1.0 / c
+    w = (qs - chip_scan._smv(as_, Fp, m, m)) * inv_c
 
     # Solve L alpha = y with L = diag(c) + strict_lower(p, w, a): fold the
     # diagonal into the transition (ops.lower_triangular_solve math).
-    inv_c = 1.0 / c[:, None]
     wd = w * inv_c
-    A = a - jnp.einsum("ni,nj->nij", wd, p, precision="highest")
-    e = sharded_affine_scan(A, (wd * y[:, None])[..., None], axis_name=axis_name)
-    alpha = (y[:, None] - jnp.einsum(
-        "ni,nik->nk", p, e, precision="highest"
-    )) * inv_c
+    A = as_ - chip_scan._souter(wd, ps)
+    e = _sharded_affine_stacked(A, wd * y, m, 1, axis_name=axis_name)
+    alpha = (y - jnp.sum(ps * e, axis=0)) * inv_c
 
     quad = jnp.sum(alpha**2)
     logdet = jnp.sum(jnp.log(c))
@@ -256,18 +276,31 @@ def _left_shifted_coords(X_loc: Array, axis: str, devices: int) -> Array:
 
 
 def _one_chain_local(kernel, X_loc, X_prev, y_loc, diag_loc, *, axis: str):
-    """Shard-local log-likelihood pieces for one kernel/observation set."""
-    Pinf = kernel.stationary_covariance()
-    from tinygp_tpu.kernels.quasisep import _anchor, _mT, _vm
-    from tinygp_tpu.solvers.quasisep.block import ensure_dense
+    """Shard-local log-likelihood pieces for one kernel/observation set.
 
-    a = ensure_dense(_mT(jax.vmap(kernel.transition_matrix)(X_prev, X_loc)))
-    t = jax.vmap(kernel.coord_to_sortable)(X_loc)
-    h = _anchor(jax.vmap(kernel.observation_model)(X_loc), t)
-    q = _vm(h, Pinf)
-    d = jnp.sum(q * h, axis=1) + diag_loc
-    p = _vm(h, a)
-    return _local_loglik_pieces(d, p, q, a, y_loc, axis_name=axis)
+    Operands are generated directly in the scans' stacked layout where the
+    kernel supports it; lazily block-diagonal kernels (quasisep ``Sum``)
+    generate row-major, densify, and repack.
+    """
+    try:
+        d, ps, qs, as_ = kernel.to_stacked_ssm(X_loc, X_prev=X_prev)
+    except NotImplementedError:
+        Pinf = kernel.stationary_covariance()
+        from tinygp_tpu.kernels.quasisep import _anchor, _mT, _vm
+        from tinygp_tpu.solvers.quasisep.block import ensure_dense
+
+        a = ensure_dense(
+            _mT(jax.vmap(kernel.transition_matrix)(X_prev, X_loc))
+        )
+        t = jax.vmap(kernel.coord_to_sortable)(X_loc)
+        h = _anchor(jax.vmap(kernel.observation_model)(X_loc), t)
+        q = _vm(h, Pinf)
+        d = jnp.sum(q * h, axis=1)
+        p = _vm(h, a)
+        ps, qs, as_ = p.T, q.T, chip_scan._pack3(a)
+    return _stacked_loglik_pieces(
+        d + diag_loc, ps, qs, as_, y_loc, axis_name=axis
+    )
 
 
 def sharded_loglik_chains(
