@@ -29,7 +29,7 @@ from jax.scipy import linalg
 
 from tinygp_tpu import kernels
 from tinygp_tpu.helpers import Array
-from tinygp_tpu.noise import Noise
+from tinygp_tpu.noise import Diagonal, Noise
 from tinygp_tpu.ops.dense import cholesky_with_fallback
 from tinygp_tpu.solvers.solver import Solver
 
@@ -68,11 +68,16 @@ class DirectSolver(Solver):
             covariance = kernel(X, X) + noise
         if blocked:
             # The noise floor bounds lambda_min of the unit-scaled
-            # covariance from below (the kernel part is PSD), which picks
-            # the cheapest numerically-safe split order at runtime.
-            rel_floor = jnp.min(
-                noise.diagonal() / jnp.maximum(variance_value, 1e-30)
-            )
+            # covariance from below — but only for DIAGONAL noise (kernel
+            # part PSD + diagonal shift). Dense/Banded noise can be
+            # indefinite-shifting, so they take the conservative 3-term
+            # split (rel_floor=0) rather than trusting the diagonal.
+            if isinstance(noise, Diagonal):
+                rel_floor = jnp.min(
+                    noise.diagonal() / jnp.maximum(variance_value, 1e-30)
+                )
+            else:
+                rel_floor = jnp.zeros(())
             scale_tril = cholesky_with_fallback(
                 covariance, rel_floor=rel_floor
             )

@@ -37,7 +37,10 @@ def _deferring(op: Callable[[Any, Any], Any], *, swap: bool = False):
 
     def method(self: Block, other: Operand) -> Operand:
         if isinstance(other, Block):
-            return self._zip(op, other)
+            # Honor operand order on the reflected variants too (a
+            # subclass on the left of a non-commutative op lands here).
+            flipped = (lambda a, b: op(b, a)) if swap else op
+            return self._zip(flipped, other)
         dense = self.to_dense()
         return op(other, dense) if swap else op(dense, other)
 

@@ -146,7 +146,10 @@ def load_pytree_sharded(path: str, like: Any) -> Any:
                         )
                     buffers.append(
                         jax.device_put(
-                            block.astype(np.asarray(shard.data).dtype),
+                            # tmpl.dtype, NOT np.asarray(shard.data).dtype:
+                            # the latter copies the live shard to host just
+                            # to read a dtype.
+                            block.astype(tmpl.dtype),
                             shard.device,
                         )
                     )
