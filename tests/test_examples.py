@@ -11,6 +11,7 @@ EXAMPLES = pathlib.Path(__file__).parent.parent / "examples"
 FAST = [
     "quickstart.py",
     "derivative_observations.py",
+    "lowrank_large_n.py",
     "kernels_algebra.py",
     "geometry_and_distances.py",
     "transforms_and_multivariate.py",
