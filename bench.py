@@ -31,6 +31,16 @@ import sys
 import time
 
 import jax
+
+# Persistent compilation cache: cold compiles of the chained timing loops
+# are tens of seconds each and dominate a fresh bench run's wall time;
+# with the cache, reruns (and the driver's timeboxed invocation) skip them.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -74,6 +74,17 @@ def main() -> None:
     try:
         import jax
 
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                ".jax_cache",
+            ),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+
         if jax.default_backend() != "tpu":
             result["why"] = f"backend is {jax.default_backend()}, not tpu"
             print(json.dumps(result))
