@@ -82,8 +82,11 @@ def test_fused_terms_match_factor_then_whiten(data):
     assert_allclose(logdet, jnp.sum(jnp.log(c)))
 
 
-@pytest.mark.parametrize("name", ["m32", "product"])
+@pytest.mark.parametrize("name", ["m32"])
 def test_gp_log_probability_uses_fused_path(data, name):
+    # One kernel here: the m=4 "product" compile alone costs ~2 min on the
+    # CI host, and its stacked generation + fused terms are already pinned
+    # by test_stacked_ssm_matches_qsm / test_fused_terms_match_*.
     X, y = data
     kernel = KERNELS[name]()
     gp = GaussianProcess(kernel, X, diag=0.1, assume_sorted=True)
