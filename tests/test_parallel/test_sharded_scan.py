@@ -50,9 +50,13 @@ def data():
     ],
     ids=["sho", "sum_scale"],
 )
-def test_sharded_loglik_matches_single_device(mesh, data, make_kernel):
+def test_sharded_loglik_matches_single_device(mesh, mesh4, data, make_kernel):
     X, y = data
     params = {"amp": jnp.asarray(1.4), "scale": jnp.asarray(2.1)}
+    # The composite (m=4 block) kernel tests the Sum/Block fallback path,
+    # which is orthogonal to mesh topology — run it on the cheaper 4-device
+    # mesh; the full 8-device topology stays covered by the SHO case.
+    use = mesh4 if "Sum" in type(make_kernel(params)).__name__ else mesh
 
     def single(params):
         gp = GaussianProcess(
@@ -62,7 +66,7 @@ def test_sharded_loglik_matches_single_device(mesh, data, make_kernel):
 
     def sharded(params):
         return sharded_loglik(
-            make_kernel(params), X, y, diag=0.1, mesh=mesh
+            make_kernel(params), X, y, diag=0.1, mesh=use
         )
 
     assert_allclose(jax.jit(sharded)(params), single(params))
