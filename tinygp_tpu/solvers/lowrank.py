@@ -182,6 +182,12 @@ class LowRankSolver(Solver):
     def condition(
         self, kernel: Kernel, X_test: Array | None, noise: Noise
     ) -> Any:
+        """Conditional covariance (dense).
+
+        Note: at the training points (``X_test=None``) this materializes
+        the N x N matrix — condition on a prediction grid instead when N
+        is the reason you chose this solver.
+        """
         if X_test is None:
             Kss = Ks = kernel(self.X, self.X)
         else:
