@@ -40,7 +40,15 @@ def test_exact_when_inducing_equals_inputs(data):
     _, cond_d = gp_dense.condition(y, grid)
     _, cond_l = gp_lr.condition(y, grid)
     assert_allclose(cond_l.loc, cond_d.loc)
-    assert_allclose(cond_l.variance, cond_d.variance)
+    if cond_l.variance.dtype == jnp.float64:
+        assert_allclose(cond_l.variance, cond_d.variance)
+    else:
+        # Posterior variances are ~260x cancellations of O(1) terms; at
+        # f32 the two (equivalent) formulas differ by ~1e-3 absolute.
+        np.testing.assert_allclose(
+            np.asarray(cond_l.variance), np.asarray(cond_d.variance),
+            atol=5e-3,
+        )
 
 
 def _dense_oracle(solver):
@@ -59,8 +67,12 @@ def test_woodbury_matches_dense_oracle(data):
     n = X.shape[0]
     sign, logdet = np.linalg.slogdet(Khat)
     assert sign > 0
-    got = float(solver.normalization())
-    assert_allclose(got, 0.5 * logdet + 0.5 * n * np.log(2 * np.pi))
+    # Keep the computed dtype so the tolerance policy matches the mode.
+    assert_allclose(
+        solver.normalization(),
+        jnp.asarray(0.5 * logdet + 0.5 * n * np.log(2 * np.pi),
+                    solver.D.dtype),
+    )
 
     # Quadratic form through solve_triangular (the GP's whitening path).
     alpha = solver.solve_triangular(y)
@@ -147,3 +159,54 @@ def test_validation():
             noise=Dense(value=0.1 * jnp.eye(16)),
             inducing_points=X[::2],
         )
+
+
+def test_condition_includes_predictive_noise(data):
+    X, y = data
+    gp = GaussianProcess(
+        KERNEL, X, diag=0.1, solver=LowRankSolver, inducing_points=X[::5]
+    )
+    grid = jnp.linspace(0, 10, 30)
+    _, cond_noisy = gp.condition(y, grid, diag=0.25)
+    _, cond_clean = gp.condition(y, grid)
+    assert_allclose(cond_noisy.variance - cond_clean.variance,
+                    jnp.full(30, 0.25) - _default_jitter(cond_clean))
+
+
+def _default_jitter(cond_gp):
+    # GaussianProcess falls back to sqrt(eps) jitter when no diag is given.
+    dt = cond_gp.loc.dtype
+    return jnp.full(cond_gp.loc.shape, jnp.sqrt(jnp.finfo(dt).eps))
+
+
+def test_posterior_covariance_is_psd_off_inducing(data):
+    # Sparse Z and test points interleaved with training data: the regime
+    # where contracting EXACT cross-covariances against the approximate
+    # prior inverse goes indefinite. The FITC predictive must stay PSD.
+    X, y = data
+    gp = GaussianProcess(
+        KERNEL, X, diag=0.05, solver=LowRankSolver,
+        inducing_points=X[::25],
+    )
+    grid = jnp.linspace(float(X[0]), float(X[-1]), 120)
+    _, cond = gp.condition(y, grid)
+    eigs = np.linalg.eigvalsh(np.asarray(cond.covariance))
+    assert eigs.min() > -1e-5 * max(1.0, eigs.max())
+
+
+def test_gradients_finite_with_duplicate_inducing(data):
+    # Duplicated Z makes W rank-deficient, so the capacitance S has
+    # repeated (zero) eigenvalues — the raw eigh VJP returns NaN here; the
+    # Daleckii-Krein JVP must stay finite.
+    X, y = data
+    Z = jnp.concatenate([X[::10], X[::10]])
+
+    def loss(theta):
+        kernel = theta[0] * kernels.ExpSquared(scale=theta[1])
+        gp = GaussianProcess(
+            kernel, X, diag=0.1, solver=LowRankSolver, inducing_points=Z
+        )
+        return -gp.log_probability(y)
+
+    g = jax.jit(jax.grad(loss))(jnp.asarray([1.3, 1.5]))
+    assert np.all(np.isfinite(np.asarray(g)))

@@ -2,9 +2,9 @@
 
 The reference's own benchmark table pits tinygp against george's HODLR
 approximation for exactly this regime (BASELINE.md: 58 ms at N=1e4, 123 ms
-at N=2e4, 1-thread CPU) but ships no approximate solver of its own. This
-one approximates the prior with the standard FITC/Nystrom construction on
-M inducing points Z:
+at N=2e4, 1-thread CPU) but ships no approximate solver. This one
+approximates the prior with the standard FITC/Nystrom construction on M
+inducing points Z:
 
     K ~= Khat = D + W W^T,
     W = k(X, Z) chol(k(Z, Z))^{-T},
@@ -16,22 +16,26 @@ conditionals, samples) is exact, and with Z = X it reproduces
 :class:`~tinygp_tpu.solvers.direct.DirectSolver` to float precision.
 
 TPU-first: all heavy work is two tall GEMMs (N x M) and M x M
-factorizations — pure MXU food with no sequential structure. The only
-eigendecomposition is a symmetric M x M ``eigh`` (which has a TPU
-lowering), used to apply the symmetric square root of the Woodbury
-capacitance so the ``Solver`` contract's triangular-factor semantics hold:
+factorizations — pure MXU food with no sequential structure. The
+``Solver`` contract's triangular-factor semantics hold through the
+symmetric square root of the Woodbury capacitance:
 
     Khat = Lhat Lhat^T,  Lhat = D^{1/2} (I + V V^T)^{1/2},  V = D^{-1/2} W
-    (I + V V^T)^{+-1/2} = I + V E f(lam) E^T V^T,  S = V^T V = E lam E^T
+    (I + V V^T)^{+-1/2} = I + V phi(S) V^T,     S = V^T V  (M x M)
 
-with f analytic in the eigenvalues (safe at lam -> 0 via a switch to the
-series limit).
+where ``phi`` is an analytic matrix function of S applied through a
+symmetric eigendecomposition. Its derivative is supplied explicitly via
+the Daleckii-Krein divided-difference formula, which stays finite at
+repeated eigenvalues — the raw ``eigh`` VJP has 1/(lam_i - lam_j) terms
+that NaN out exactly when W is rank-deficient (duplicated inducing
+points, M past the gram's numerical rank), a routine configuration here.
 """
 
 from __future__ import annotations
 
 __all__ = ["LowRankSolver"]
 
+from functools import partial
 from typing import Any
 
 import jax
@@ -42,13 +46,62 @@ from tinygp_tpu.helpers import Array, pdot
 from tinygp_tpu.kernels.base import Kernel
 from tinygp_tpu.noise import Diagonal, Noise
 from tinygp_tpu.solvers.solver import Solver
+from tinygp_tpu.utils.module import static_field
 
 
-def _sqrt_eigs(lam: Array, sign: int) -> Array:
-    """``((1 + lam)^{sign/2} - 1) / lam`` with the lam -> 0 limit guarded."""
-    lam_safe = jnp.where(jnp.abs(lam) < 1e-12, 1.0, lam)
-    f = (jnp.power(1.0 + lam, 0.5 * sign) - 1.0) / lam_safe
-    return jnp.where(jnp.abs(lam) < 1e-12, 0.5 * sign, f)
+def _phi(lam: Array, sign: int) -> Array:
+    """``((1 + lam)^{sign/2} - 1) / lam`` in cancellation-free form."""
+    u = jnp.sqrt(1.0 + lam)
+    if sign > 0:
+        return 1.0 / (1.0 + u)
+    return -1.0 / (u * (1.0 + u))
+
+
+def _phi_prime(lam: Array, sign: int) -> Array:
+    """Derivative of :func:`_phi`, same stable parameterization."""
+    u = jnp.sqrt(1.0 + lam)
+    if sign > 0:
+        return -1.0 / (2.0 * u * (1.0 + u) ** 2)
+    return (1.0 + 2.0 * u) / (2.0 * u * (u * (1.0 + u)) ** 2)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _cap_fn(S: Array, sign: int) -> Array:
+    """The capacitance matrix function ``phi(S)`` with a tie-safe JVP.
+
+    ``(I + V V^T)^{sign/2} = I + V phi(S) V^T``. The primal goes through
+    ``eigh``; the tangent uses Daleckii-Krein divided differences
+    ``(phi_i - phi_j)/(lam_i - lam_j)`` with the analytic ``phi'`` on
+    (near-)ties, so gradients are finite for ANY PSD S — including the
+    rank-deficient ones where the generic eigh VJP divides by zero.
+    """
+    lam, E = jnp.linalg.eigh(S)
+    lam = jnp.maximum(lam, 0.0)
+    return pdot(E * _phi(lam, sign)[None, :], E.T)
+
+
+@_cap_fn.defjvp
+def _cap_fn_jvp(sign, primals, tangents):
+    (S,) = primals
+    (dS,) = tangents
+    lam, E = jnp.linalg.eigh(S)
+    lam = jnp.maximum(lam, 0.0)
+    f = _phi(lam, sign)
+    df = _phi_prime(lam, sign)
+    primal = pdot(E * f[None, :], E.T)
+
+    den = lam[:, None] - lam[None, :]
+    tol = 1e-6 * (1.0 + lam[:, None] + lam[None, :])
+    tie = jnp.abs(den) < tol
+    diff = jnp.where(
+        tie,
+        0.5 * (df[:, None] + df[None, :]),
+        (f[:, None] - f[None, :]) / jnp.where(tie, 1.0, den),
+    )
+    dS_sym = 0.5 * (dS + dS.T)
+    inner = pdot(E.T, pdot(dS_sym, E))
+    tangent = pdot(E, pdot(diff * inner, E.T))
+    return primal, tangent
 
 
 class LowRankSolver(Solver):
@@ -69,16 +122,24 @@ class LowRankSolver(Solver):
     Within the approximate prior all outputs are exact; with ``Z = X`` the
     approximation is exact and this matches ``DirectSolver`` to float
     precision (tested). Cost: ``O(N M^2 + M^3)`` time, ``O(N M)`` memory.
+
+    Conditioning note: the predictive covariance contracts the *Nystrom*
+    cross-covariances ``Qsf = k(X*, Z) Kmm^{-1} k(Z, X)`` against the
+    approximate prior inverse (the standard FITC predictive), which keeps
+    it positive semi-definite; mixing exact cross-covariances with the
+    approximate inverse does not. The predictive mean assembled by
+    :meth:`GaussianProcess.condition` uses the exact cross-covariance
+    against ``Khat^{-1} y`` (a DTC-style mean).
     """
 
     X: Array
     inducing_points: Array
+    Lmm: Array
     W: Array
     D: Array
-    eigvecs: Array
-    eigvals: Array
+    S: Array
     variance_value: Array
-    fitc: bool
+    fitc: bool = static_field()
 
     def __init__(
         self,
@@ -108,11 +169,9 @@ class LowRankSolver(Solver):
         Knm = kernel(X, Z)
         # Smooth kernels make Kmm numerically singular for clustered Z
         # (eigenvalues decay past machine eps), so the factorization needs
-        # a ridge. Sized by dtype: enough to dominate the round-off
-        # negative tail (so chol cannot NaN) while perturbing Qff well
-        # below the test-tolerance policy. An eigh-based truncated root
-        # avoids the ridge but its VJP is 1/(lam_i - lam_j) — NaN on the
-        # degenerate tail — so Cholesky it is.
+        # a ridge: sized by dtype to dominate the round-off negative tail
+        # (so chol cannot NaN) while perturbing Qff far below the test
+        # tolerance policy.
         rel = 1e-10 if Kmm.dtype == jnp.float64 else 3e-6
         ridge = rel * jnp.max(jnp.abs(jnp.diagonal(Kmm)))
         Kmm = Kmm + ridge * jnp.eye(Kmm.shape[0], dtype=Kmm.dtype)
@@ -131,16 +190,14 @@ class LowRankSolver(Solver):
 
         V = W / jnp.sqrt(D)[:, None]
         S = pdot(V.T, V)
-        lam, E = jnp.linalg.eigh(S)
-        lam = jnp.maximum(lam, 0.0)
 
         self._init(
             X=X,
             inducing_points=Z,
+            Lmm=Lmm,
             W=W,
             D=D,
-            eigvecs=E,
-            eigvals=lam,
+            S=S,
             variance_value=variance,
             fitc=fitc,
         )
@@ -149,10 +206,8 @@ class LowRankSolver(Solver):
 
     def _half_power(self, y: Array, sign: int) -> Array:
         V = self.W / jnp.sqrt(self.D)[:, None]
-        f = _sqrt_eigs(self.eigvals, sign)
-        t = pdot(self.eigvecs.T, pdot(V.T, y))
-        f = f.reshape((-1,) + (1,) * (t.ndim - 1))
-        return y + pdot(V, pdot(self.eigvecs, f * t))
+        G = _cap_fn(self.S, sign)
+        return y + pdot(V, pdot(G, pdot(V.T, y)))
 
     def variance(self) -> Array:
         return self.variance_value
@@ -163,9 +218,9 @@ class LowRankSolver(Solver):
 
     def normalization(self) -> Array:
         n = self.D.shape[0]
-        logdet = jnp.sum(jnp.log(self.D)) + jnp.sum(
-            jnp.log1p(self.eigvals)
-        )
+        eye = jnp.eye(self.S.shape[0], dtype=self.S.dtype)
+        _, logdet_cap = jnp.linalg.slogdet(eye + self.S)
+        logdet = jnp.sum(jnp.log(self.D)) + logdet_cap
         return 0.5 * logdet + 0.5 * n * np.log(2 * np.pi)
 
     def solve_triangular(self, y: Array, *, transpose: bool = False) -> Array:
@@ -182,16 +237,24 @@ class LowRankSolver(Solver):
     def condition(
         self, kernel: Kernel, X_test: Array | None, noise: Noise
     ) -> Any:
-        """Conditional covariance (dense).
+        """FITC predictive covariance ``Kss + noise - Qsf Khat^{-1} Qfs``.
 
-        Note: at the training points (``X_test=None``) this materializes
-        the N x N matrix — condition on a prediction grid instead when N
-        is the reason you chose this solver.
+        PSD by construction (``Qsf Khat^{-1} Qfs <= Qss <= Kss``
+        elementwise in the Loewner order). At the training points
+        (``X_test=None``) this materializes N x N — condition on a
+        prediction grid instead when N is the reason you chose this
+        solver.
         """
-        if X_test is None:
-            Kss = Ks = kernel(self.X, self.X)
-        else:
-            Kss = kernel(X_test, X_test)
-            Ks = kernel(self.X, X_test)
-        A = self.solve_triangular(Ks)
+        Xs = self.X if X_test is None else X_test
+        Kss = kernel(Xs, Xs) + noise
+        # Ws = k(Xs, Z) Lmm^{-T}, so Qfs = W Ws^T.
+        Ksm = kernel(Xs, self.inducing_points)
+        Ws = jax.scipy.linalg.solve_triangular(
+            self.Lmm, Ksm.T, lower=True
+        ).T
+        # Whiten the Nystrom cross-covariance directly (O(N M T)): the
+        # algebraically equivalent M x M capacitance route
+        # ``Ws (W^T Khat^{-1} W) Ws^T`` squares the conditioning and loses
+        # ~1e-3 absolute on f32 posterior variances.
+        A = self.solve_triangular(pdot(self.W, Ws.T))
         return Kss - pdot(A.T, A)
