@@ -65,30 +65,35 @@ def _phi_prime(lam: Array, sign: int) -> Array:
     return (1.0 + 2.0 * u) / (2.0 * u * (u * (1.0 + u)) ** 2)
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(1,))
-def _cap_fn(S: Array, sign: int) -> Array:
-    """The capacitance matrix function ``phi(S)`` with a tie-safe JVP.
+@partial(jax.custom_jvp, nondiff_argnums=(2,))
+def _cap_apply(S: Array, T: Array, sign: int) -> Array:
+    """``phi(S) @ T`` with a tie-safe derivative.
 
-    ``(I + V V^T)^{sign/2} = I + V phi(S) V^T``. The primal goes through
-    ``eigh``; the tangent uses Daleckii-Krein divided differences
-    ``(phi_i - phi_j)/(lam_i - lam_j)`` with the analytic ``phi'`` on
-    (near-)ties, so gradients are finite for ANY PSD S — including the
-    rank-deficient ones where the generic eigh VJP divides by zero.
+    ``(I + V V^T)^{sign/2} = I + V phi(S) V^T``. The primal applies ``phi``
+    *in the eigenbasis* (scale each direction, never materialize
+    ``E phi E^T`` — the materialized matrix mixes O(0.5) and O(1/lam_max)
+    scalings into shared entries and costs ~20x accuracy in f32 when
+    ``cond(S)`` is large). The tangent uses Daleckii-Krein divided
+    differences ``(phi_i - phi_j)/(lam_i - lam_j)`` with the analytic
+    ``phi'`` on (near-)ties, so gradients are finite for ANY PSD S —
+    including the rank-deficient ones where the generic eigh VJP divides
+    by zero.
     """
     lam, E = jnp.linalg.eigh(S)
-    lam = jnp.maximum(lam, 0.0)
-    return pdot(E * _phi(lam, sign)[None, :], E.T)
+    f = _phi(jnp.maximum(lam, 0.0), sign)
+    return pdot(E, f[:, None] * pdot(E.T, T))
 
 
-@_cap_fn.defjvp
-def _cap_fn_jvp(sign, primals, tangents):
-    (S,) = primals
-    (dS,) = tangents
+@_cap_apply.defjvp
+def _cap_apply_jvp(sign, primals, tangents):
+    S, T = primals
+    dS, dT = tangents
     lam, E = jnp.linalg.eigh(S)
     lam = jnp.maximum(lam, 0.0)
     f = _phi(lam, sign)
     df = _phi_prime(lam, sign)
-    primal = pdot(E * f[None, :], E.T)
+    Et_T = pdot(E.T, T)
+    primal = pdot(E, f[:, None] * Et_T)
 
     den = lam[:, None] - lam[None, :]
     tol = 1e-6 * (1.0 + lam[:, None] + lam[None, :])
@@ -100,7 +105,9 @@ def _cap_fn_jvp(sign, primals, tangents):
     )
     dS_sym = 0.5 * (dS + dS.T)
     inner = pdot(E.T, pdot(dS_sym, E))
-    tangent = pdot(E, pdot(diff * inner, E.T))
+    tangent = pdot(E, pdot(diff * inner, Et_T)) + pdot(
+        E, f[:, None] * pdot(E.T, dT)
+    )
     return primal, tangent
 
 
@@ -206,8 +213,9 @@ class LowRankSolver(Solver):
 
     def _half_power(self, y: Array, sign: int) -> Array:
         V = self.W / jnp.sqrt(self.D)[:, None]
-        G = _cap_fn(self.S, sign)
-        return y + pdot(V, pdot(G, pdot(V.T, y)))
+        t = pdot(V.T, y)
+        t2 = _cap_apply(self.S, t if t.ndim > 1 else t[:, None], sign)
+        return y + pdot(V, t2.reshape(t.shape))
 
     def variance(self) -> Array:
         return self.variance_value
