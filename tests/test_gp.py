@@ -82,13 +82,16 @@ def test_condition_and_predict(data):
     mu = Ks.T @ np.linalg.solve(K, np.asarray(y))
     cov = Kss - Ks.T @ np.linalg.solve(K, Ks)
 
+    # Posterior second moments are cancellation-prone; their absolute
+    # floor scales with the mode's precision.
+    var_atol = 1e-5 if cond.variance.dtype == jnp.float64 else 1e-3
     assert_allclose(cond.loc, mu, atol=1e-5)
-    assert_allclose(np.asarray(cond.variance), np.diag(cov), atol=1e-5)
+    assert_allclose(np.asarray(cond.variance), np.diag(cov), atol=var_atol)
 
     mu2, var2 = gp.predict(y, X_test, return_var=True)
     assert_allclose(mu2, mu, atol=1e-5)
     mu3, cov3 = gp.predict(y, X_test, return_cov=True)
-    assert_allclose(np.asarray(cov3), cov, atol=1e-5)
+    assert_allclose(np.asarray(cov3), cov, atol=var_atol)
 
 
 def test_condition_at_train_points(data):
@@ -159,13 +162,15 @@ def test_gradients_flow(data):
     g = jax.grad(loss)(params)
     assert np.isfinite(float(g["amp"]))
     assert np.isfinite(float(g["scale"]))
-    # Finite-difference check
-    eps = 1e-6
-    for k in params:
-        shifted = dict(params)
-        shifted[k] = params[k] + eps
-        fd = (loss(shifted) - loss(params)) / eps
-        assert_allclose(g[k], fd, atol=1e-3, rtol=1e-3)
+    if g["amp"].dtype == jnp.float64:
+        # Finite-difference check (x64 only: the eps=1e-6 forward quotient
+        # is round-off noise at f32 resolution).
+        eps = 1e-6
+        for k in params:
+            shifted = dict(params)
+            shifted[k] = params[k] + eps
+            fd = (loss(shifted) - loss(params)) / eps
+            assert_allclose(g[k], fd, atol=1e-3, rtol=1e-3)
 
 
 def test_explicit_solver_choice(data):

@@ -75,9 +75,12 @@ def test_supports_gate():
     X32 = jnp.zeros(4, jnp.float32)
     assert supports_tiled_gram(k, X32, X32)
     # f64 inputs, pytree inputs, and 3-d inputs all fall back.
-    assert not supports_tiled_gram(k, jnp.zeros(4, jnp.float64), X32)
+    if jax.config.jax_enable_x64:
+        # Without x64, float64 silently becomes float32 and IS supported.
+        assert not supports_tiled_gram(k, jnp.zeros(4, jnp.float64), X32)
     assert not supports_tiled_gram(k, (X32, X32), X32)
     assert not supports_tiled_gram(k, jnp.zeros((4, 2, 2), jnp.float32), X32)
-    # f64 parameters fall back too.
-    k64 = kernels.Matern32(scale=jnp.float64(1.0))
-    assert not supports_tiled_gram(k64, X32, X32)
+    if jax.config.jax_enable_x64:
+        # f64 parameters fall back too (unconstructible without x64).
+        k64 = kernels.Matern32(scale=jnp.float64(1.0))
+        assert not supports_tiled_gram(k64, X32, X32)

@@ -18,7 +18,10 @@ def test_matches_single_device(d, n, block):
 
     L = cholesky_tp(K, mesh=mesh, block=block)
     Lx = jnp.linalg.cholesky(K)
-    np.testing.assert_allclose(np.asarray(L), np.asarray(Lx), atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(L), np.asarray(Lx),
+        atol=1e-8 if np.asarray(L).dtype == np.float64 else 1e-4,
+    )
 
     # The result is actually sharded over the mesh.
     assert len(L.sharding.device_set) == d

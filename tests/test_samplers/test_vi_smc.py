@@ -17,12 +17,15 @@ def log_prior(p):
 
 
 def test_advi_gaussian_exact():
+    # Cool-down learning rate: the final iterate's stationary wobble at
+    # lr=0.05 is ~0.3 (seed-dependent, surfaced by the f32 RNG path);
+    # a smaller step tightens it well inside the 0.1 check in both modes.
     res = fit_advi(
         jax.random.PRNGKey(0),
         log_prob,
         {"x": jnp.zeros(2)},
-        num_steps=2000,
-        learning_rate=0.05,
+        num_steps=4000,
+        learning_rate=0.02,
     )
     np.testing.assert_allclose(np.asarray(res.mean), MU, atol=0.1)
     np.testing.assert_allclose(np.exp(np.asarray(res.log_std)), SD, atol=0.1)

@@ -69,7 +69,7 @@ def test_sho_loglike_matches_oracle(data, parallel):
         kernel, jnp.asarray(X), diag=0.1, parallel=parallel,
         assume_sorted=True,
     )
-    assert_allclose(float(gp.log_probability(jnp.asarray(y))), ll)
+    assert_allclose(gp.log_probability(jnp.asarray(y)), ll)
 
 
 @pytest.mark.parametrize("parallel", [False, True])
@@ -85,4 +85,4 @@ def test_celerite_term_loglike_matches_oracle(data, parallel):
         kernel, jnp.asarray(X), diag=0.1, parallel=parallel,
         assume_sorted=True,
     )
-    assert_allclose(float(gp.log_probability(jnp.asarray(y))), ll)
+    assert_allclose(gp.log_probability(jnp.asarray(y)), ll)

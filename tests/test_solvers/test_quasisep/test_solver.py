@@ -9,6 +9,10 @@ from tinygp_tpu.noise import Banded, Diagonal
 from tinygp_tpu.solvers import DirectSolver, QuasisepSolver
 from tinygp_tpu.test_utils import assert_allclose
 
+# Cross-strategy agreement floor: tiny posterior variances are
+# cancellation-prone, so the absolute floor scales with the mode's eps.
+ATOL = 1e-6 if jax.config.jax_enable_x64 else 5e-5
+
 # Matched (quasisep, dense) kernel pairs
 PAIRS = [
     (quasisep.Matern32(scale=1.8, sigma=1.2), 1.44 * kernels.Matern32(scale=1.8)),
@@ -52,7 +56,7 @@ def test_cross_solver_consistency(pair, data, request):
     assert isinstance(gp_q.solver, QuasisepSolver)
 
     # covariance / variance / normalization / log_prob
-    assert_allclose(gp_q.covariance, gp_d.covariance, atol=1e-6)
+    assert_allclose(gp_q.covariance, gp_d.covariance, atol=ATOL)
     assert_allclose(gp_q.variance, gp_d.variance)
     assert_allclose(
         gp_q.solver.normalization(), gp_d.solver.normalization()
@@ -75,14 +79,14 @@ def test_cross_solver_consistency(pair, data, request):
     lq, cq = gp_q.condition(y)
     ld, cd = gp_d.condition(y)
     assert_allclose(lq, ld)
-    assert_allclose(cq.loc, cd.loc, atol=1e-6)
-    assert_allclose(cq.variance, cd.variance, atol=1e-6)
+    assert_allclose(cq.loc, cd.loc, atol=ATOL)
+    assert_allclose(cq.variance, cd.variance, atol=ATOL)
 
     X_test = jnp.linspace(-0.5, 10.5, 33)
     _, cq = gp_q.condition(y, X_test)
     _, cd = gp_d.condition(y, X_test)
-    assert_allclose(cq.loc, cd.loc, atol=1e-6)
-    assert_allclose(cq.variance, cd.variance, atol=1e-6)
+    assert_allclose(cq.loc, cd.loc, atol=ATOL)
+    assert_allclose(cq.variance, cd.variance, atol=ATOL)
 
 
 def test_sequential_mode_end_to_end(data):
@@ -98,8 +102,8 @@ def test_sequential_mode_end_to_end(data):
     ls, cs = gp_s.condition(y)
     lp, cp = gp_p.condition(y)
     assert_allclose(ls, lp)
-    assert_allclose(cs.loc, cp.loc, atol=1e-6)
-    assert_allclose(cs.variance, cp.variance, atol=1e-6)
+    assert_allclose(cs.loc, cp.loc, atol=ATOL)
+    assert_allclose(cs.variance, cp.variance, atol=ATOL)
 
 
 def test_unsorted_raises_eagerly(data):

@@ -58,7 +58,7 @@ class Kernel(Module):
         >>> K = k(jnp.linspace(0, 1, 4), jnp.linspace(0, 1, 6))
         >>> K.shape
         (4, 6)
-        >>> float(jnp.round(k.evaluate(0.3, 0.3), 5))
+        >>> round(float(k.evaluate(0.3, 0.3)), 5)
         1.6
     """
 

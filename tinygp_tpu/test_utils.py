@@ -26,8 +26,15 @@ _TOL = {
 def assert_allclose(calculated: Any, expected: Any, **kwargs: Any) -> None:
     calculated = np.asarray(calculated)
     expected = np.asarray(expected)
-    dtype = np.result_type(calculated, expected)
-    tol = _TOL.get(np.dtype(dtype).name, 5e-4)
+    # Tolerance keyed on the LEAST precise operand: oracles computed in
+    # numpy are f64, and result_type would otherwise demand f64 accuracy
+    # of an f32 computation (every mixed comparison fails in f32 mode).
+    names = []
+    for arr in (calculated, expected):
+        name = np.dtype(arr.dtype).name
+        if name in _TOL:
+            names.append(name)
+    tol = max((_TOL[n] for n in names), default=5e-4)
     atol = kwargs.pop("atol", tol)
     rtol = kwargs.pop("rtol", tol)
     np.testing.assert_allclose(
