@@ -113,7 +113,65 @@ def device_seconds_per_eval(fn, params, *args, iters=50):
     return max((t2 - t1) / iters, 1e-9)
 
 
+def device_reachable(timeout_s: int = 120) -> bool:
+    """Probe the device in a subprocess so a dead tunnel cannot hang us.
+
+    The axon TPU tunnel has been observed unresponsive for 10+ hours at a
+    stretch (2026-08-17): backend init blocks forever inside
+    ``make_c_api_client``, so any in-process touch of ``jax.devices()``
+    would hang the whole benchmark run.
+    """
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128));"
+        "assert float((x @ x)[0, 0]) == 128.0"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True,
+        )
+        return proc.returncode == 0
+    except Exception:  # noqa: BLE001 - includes TimeoutExpired
+        return False
+
+
+def stale_fallback() -> bool:
+    """When the device is unreachable, report the last good run, marked.
+
+    Returns True if a clearly-labeled stale line was printed.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAILS.json")) as f:
+            details = json.load(f)
+        t_main = float(details["quasisep_loglik_n1e5_s"])
+    except Exception:  # noqa: BLE001
+        return False
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "quasisep GP log-lik evals/s (N=1e5, Matern32) "
+                    "[STALE: TPU tunnel unreachable at bench time; value "
+                    "is the last successful on-device measurement from "
+                    "BENCH_DETAILS.json]"
+                ),
+                "value": 1.0 / t_main,
+                "unit": "evals/s",
+                "vs_baseline": BASELINE_SECONDS / t_main,
+            }
+        )
+    )
+    return True
+
+
 def main():
+    if not device_reachable():
+        if stale_fallback():
+            return
+        raise SystemExit("device unreachable and no prior BENCH_DETAILS")
+
     from tinygp_tpu import GaussianProcess
     from tinygp_tpu import kernels as dense_kernels
     from tinygp_tpu.kernels import quasisep
