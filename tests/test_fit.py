@@ -68,3 +68,51 @@ def test_custom_optimizer():
         num_steps=100,
     )
     assert float(res.loss) < 1e-4
+
+
+def test_flat_but_diverged_tail_not_converged():
+    # ADVICE r2: a trajectory that leaves its optimum and then sits flat at
+    # a much worse loss must not report converged (the final window is
+    # "flat" but nowhere near best_loss).
+    import optax
+
+    def leave_then_freeze():
+        def init(params):
+            return jnp.zeros((), jnp.int32)
+
+        def update(grads, state, params=None):
+            step = state
+            upd = jax.tree_util.tree_map(
+                lambda g: jnp.where(
+                    step < 50,
+                    -0.2 * g,
+                    jnp.where(step == 50, 10.0, 0.0),
+                ),
+                grads,
+            )
+            return upd, state + 1
+
+        return optax.GradientTransformation(init, update)
+
+    loss = lambda x: jnp.sum(x**2)
+    res = fit_map(
+        loss,
+        jnp.asarray([1.0]),
+        optimizer=leave_then_freeze(),
+        num_steps=200,
+    )
+    assert float(res.loss) < 1e-3  # best tracked from the descent phase
+    assert float(res.losses[-1]) > 50.0  # tail is far from best
+    assert not bool(res.converged)
+
+
+def test_rising_tail_not_converged():
+    # Divergent SGD: losses increase, so per-step "drops" are negative;
+    # |mean drop| must flag this as not converged.
+    import optax
+
+    loss = lambda x: jnp.sum(x**2)
+    res = fit_map(
+        loss, jnp.asarray([1.0]), optimizer=optax.sgd(1.5), num_steps=100
+    )
+    assert not bool(res.converged)

@@ -220,3 +220,39 @@ def test_blocked_cholesky_small_fallback():
     np.testing.assert_array_equal(
         np.asarray(blocked_cholesky(K)), np.asarray(jnp.linalg.cholesky(K))
     )
+
+
+def test_fallback_catches_silently_inaccurate_factor(monkeypatch):
+    # ADVICE r2 (medium): a finite-but-wrong factor must trigger the native
+    # re-factorization via the diagonal-reconstruction guard, not sail
+    # through the NaN-only check. Simulate silent accuracy loss by
+    # corrupting the blocked factor's scale by 1% (diag residual ~2%).
+    import tinygp_tpu.ops.dense as dense_mod
+
+    rng = np.random.default_rng(17)
+    N = 512
+    A = jnp.asarray(rng.normal(size=(N, N)).astype(np.float32) / np.sqrt(N))
+    K = jnp.matmul(A, A.T, precision="highest") + jnp.eye(N)
+
+    real_blocked = dense_mod.blocked_cholesky
+    monkeypatch.setattr(
+        dense_mod,
+        "blocked_cholesky",
+        lambda K, **kw: real_blocked(K, **kw) * np.float32(1.01),
+    )
+    L = dense_mod.cholesky_with_fallback(K, block=256, min_size=0)
+    Lx = jnp.linalg.cholesky(K)
+    # Rescued: exactly the native factor, not the corrupted one.
+    np.testing.assert_array_equal(np.asarray(L), np.asarray(Lx))
+
+
+def test_fallback_passes_healthy_factor_through():
+    # The residual guard must NOT fire on a healthy well-conditioned
+    # factorization (else every call pays the native refactorization).
+    rng = np.random.default_rng(18)
+    N = 512
+    A = jnp.asarray(rng.normal(size=(N, N)).astype(np.float32) / np.sqrt(N))
+    K = jnp.matmul(A, A.T, precision="highest") + jnp.eye(N)
+    L = cholesky_with_fallback(K, block=256, min_size=0)
+    Lb = blocked_cholesky(K, block=256, min_size=0)
+    np.testing.assert_array_equal(np.asarray(L), np.asarray(Lb))

@@ -32,7 +32,9 @@ class FitResult(NamedTuple):
     """Per-step loss trace, shape ``(num_steps,)``."""
 
     converged: Array
-    """Whether the final-window loss improvement fell below ``tol``."""
+    """Whether the trajectory settled: the final-window mean |loss change|
+    fell below ``tol`` AND the final window sits at the best loss seen (a
+    flat-but-diverged tail does not count)."""
 
 
 def fit_map(
@@ -98,7 +100,15 @@ def fit_map(
         )
         window = max(1, num_steps // 10)
         drops = -jnp.diff(losses[-window - 1 :])
-        converged = jnp.nanmean(drops) < tol
+        # |mean drop| < tol: a *rising* final window (late divergence under
+        # a hot learning rate gives negative drops) must not read as
+        # converged. And the final window must actually sit at the best
+        # loss seen — otherwise the trajectory left its optimum behind.
+        flat = jnp.abs(jnp.nanmean(drops)) < tol
+        final_best = jnp.nanmin(losses[-window:])
+        scale = jnp.maximum(1.0, jnp.abs(best_loss))
+        near_best = final_best <= best_loss + 1e-3 * scale
+        converged = flat & near_best
         return FitResult(best_params, best_loss, losses, converged)
 
     return run(init_params)

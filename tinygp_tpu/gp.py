@@ -51,7 +51,13 @@ class GaussianProcess(Module):
         mean_value / covariance_value: Precomputed values used internally by
             :meth:`condition`.
         **solver_kwargs: Forwarded to the solver (e.g. ``parallel=…``,
-            ``assume_sorted=…`` for the quasiseparable solver).
+            ``assume_sorted=…`` for the quasiseparable solver). Note the
+            dense :class:`~tinygp_tpu.solvers.direct.DirectSolver` accepts
+            ``blocked=False`` to force XLA's native Cholesky instead of
+            the default MXU split-precision blocked factorization (which
+            self-checks and re-factors natively when its factor is
+            inaccurate) — the escape hatch if the blocked path ever
+            misbehaves on your matrices.
 
     Examples:
         Build a GP, score data, and condition on it:

@@ -275,6 +275,12 @@ def _blocked_cholesky_impl(K: Array, block: int, terms: int) -> Array:
 # this, while sqrt(eps)-jitter matrices (floor ~3e-4) need the 3-term path.
 _FAST_FLOOR = 1e-2
 
+# Max relative error allowed on diag(L L^T) vs diag(K) before the factor is
+# declared silently inaccurate and re-done natively. Healthy split factors
+# sit ~1e-4 (2-term) / ~1e-6 (3-term) at N=1e4; a breakdown-adjacent factor
+# is O(1) wrong. Order-of-magnitude headroom on both sides.
+_DIAG_RESID_TOL = 3e-3
+
 
 def cholesky_with_fallback(
     K: Array,
@@ -292,10 +298,15 @@ def cholesky_with_fallback(
     order is chosen at runtime: well-conditioned matrices take the 2-term
     path (~2/3 the time), borderline ones the f32-grade 3-term path.
 
-    The split paths only NaN where the matrix is near-indefinite at their
-    operand precision; on NaN we pay one accurate native re-factorization
-    rather than surface spurious failure. The guard costs one reduction
-    over the diagonal.
+    The factor-quality guard is two-fold. Outright breakdown reads as NaNs
+    on the factor diagonal (like the native kernel). Silent accuracy loss —
+    a near-indefinite-but-finite factor — is caught by the diagonal
+    reconstruction identity: exact Cholesky satisfies
+    ``sum_j L[i, j]^2 == K[i, i]`` row by row, and every trailing-update
+    (SYRK) rounding error lands additively in exactly that identity, so a
+    large relative diagonal residual *is* a large factor error. Either
+    trigger pays one accurate native re-factorization rather than surface
+    a spurious failure. Both guards together cost O(N^2) reductions.
     """
     n = K.shape[0]
     if n < max(min_size, block) or K.dtype != jnp.float32:
@@ -318,7 +329,18 @@ def cholesky_with_fallback(
             min_size=min_size,
             terms=_TERMS if terms is None else terms,
         )
-    bad = jnp.any(jnp.isnan(jnp.diagonal(L)))
+    # Guard 1: NaN on the factor diagonal (outright breakdown).
+    dL = jnp.diagonal(L)
+    bad = jnp.any(jnp.isnan(dL)) | jnp.any(dL <= 0)
+    # Guard 2: diagonal reconstruction residual. diag(L L^T) = K's diagonal
+    # holds to the split paths' operand error (~2^-16 x O(sqrt(N/B)) for
+    # 2-term) when the factorization is healthy; accumulated Schur-update
+    # error appears here 1:1, so a large relative residual flags a
+    # finite-but-wrong factor that the NaN check would miss.
+    dK = jnp.diagonal(K)
+    resid = jnp.abs(jnp.sum(jnp.square(L), axis=1) - dK)
+    rel = jnp.max(resid / jnp.maximum(jnp.abs(dK), jnp.finfo(K.dtype).tiny))
+    bad = bad | (rel > _DIAG_RESID_TOL) | jnp.isnan(rel)
     return lax.cond(bad, jnp.linalg.cholesky, lambda _: L, K)
 
 

@@ -74,6 +74,13 @@ def cholesky_tp(
                     T, (0, loc_off), (n, block)
                 )
                 A11 = lax.dynamic_slice(A_panel, (lo, 0), (block, block))
+                # Non-owners sliced at loc_off see the WRONG block of their
+                # slab — generally not PD, so cholesky would NaN. The primal
+                # is masked off below either way, but a NaN primal poisons
+                # reverse-mode AD (the cholesky VJP evaluates L^-T of the
+                # primal even under zero cotangents). Feed non-owners the
+                # identity: finite factor, finite VJP, zero cotangent flow.
+                A11 = jnp.where(me == owner, A11, eye)
                 L11 = lax.linalg.cholesky(A11, symmetrize_input=False)
                 L11invT = jax.scipy.linalg.solve_triangular(
                     L11, eye, lower=True
@@ -126,6 +133,10 @@ def cholesky_tp(
         out_specs=P(None, axis),
         check_vma=False,
     )
-    K = jax.device_put(K, NamedSharding(mesh, P(None, axis)))
+    if not isinstance(K, jax.core.Tracer):
+        # Pre-shard concrete inputs onto the mesh. Under a trace (jit /
+        # grad) the partitioner places K itself; an eager device_put on a
+        # tracer trips XLA's sharding-override assertion in reverse mode.
+        K = jax.device_put(K, NamedSharding(mesh, P(None, axis)))
     L = sharded(K)
     return jnp.tril(L)

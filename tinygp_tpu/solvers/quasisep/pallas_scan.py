@@ -58,10 +58,13 @@ _CHUNK_BYTES = 3 * 2**20
 def _is_tracer_batched(x) -> bool:
     try:
         from jax._src.interpreters import batching
-
-        return isinstance(x, batching.BatchTracer)
     except Exception:  # pragma: no cover - internal API moved
-        return False
+        # Fail CLOSED: if batching can no longer be detected, treat every
+        # tracer as potentially vmapped so supports() rejects it — the
+        # sequential grid-carry kernel computes wrong prefixes for all but
+        # the first batch element if a batched operand slips through.
+        return isinstance(x, jax.core.Tracer)
+    return isinstance(x, batching.BatchTracer)
 
 
 def supports(elems, *, combine_ok: bool = True) -> bool:
