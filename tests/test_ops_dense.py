@@ -256,3 +256,116 @@ def test_fallback_passes_healthy_factor_through():
     L = cholesky_with_fallback(K, block=256, min_size=0)
     Lb = blocked_cholesky(K, block=256, min_size=0)
     np.testing.assert_array_equal(np.asarray(L), np.asarray(Lb))
+
+
+# ---------------------------------------------------------------------------
+# Fused log-likelihood path (factor + whiten in one panel loop)
+# ---------------------------------------------------------------------------
+
+
+def _loglik_fixture(seed, N, diag=0.5):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(N, N)).astype(np.float32) / np.sqrt(N)
+    K = jnp.asarray(A @ A.T + diag * np.eye(N), jnp.float32)
+    r = jnp.asarray(rng.normal(size=N), jnp.float32)
+    return K, r
+
+
+def _native_terms_f64(K, r):
+    K64 = np.asarray(K, np.float64)
+    r64 = np.asarray(r, np.float64)
+    L = np.linalg.cholesky(K64)
+    a = np.linalg.solve(L, r64)
+    return float(a @ a), float(np.sum(np.log(np.diag(L))))
+
+
+def test_fused_loglik_matches_f64_oracle():
+    from tinygp_tpu.ops.dense import blocked_loglik_terms
+
+    for N in (768, 1100):  # exact block multiple and ragged/padded
+        K, r = _loglik_fixture(11, N)
+        for terms in (2, 3):
+            quad, hld = jax.jit(
+                lambda K, r, t=terms: blocked_loglik_terms(
+                    K, r, block=256, min_size=0, terms=t
+                )
+            )(K, r)
+            q0, h0 = _native_terms_f64(K, r)
+            assert abs(float(quad) - q0) / abs(q0) < 5e-4, (N, terms)
+            assert abs(float(hld) - h0) < 5e-3 * abs(h0) + 1e-2, (N, terms)
+
+
+def test_fused_loglik_rel_floor_dispatch():
+    from tinygp_tpu.ops.dense import blocked_loglik_terms
+
+    K, r = _loglik_fixture(12, 512)
+    q0, h0 = _native_terms_f64(K, r)
+    for floor in (0.5, 1e-6):  # 2-term and 3-term runtime branches
+        quad, hld = jax.jit(
+            lambda K, r, f=floor: blocked_loglik_terms(
+                K, r, block=256, min_size=0, rel_floor=jnp.float32(f)
+            )
+        )(K, r)
+        assert abs(float(quad) - q0) / abs(q0) < 5e-4
+        assert abs(float(hld) - h0) < 5e-3 * abs(h0) + 1e-2
+
+
+def test_fused_loglik_breakdown_falls_back():
+    # An indefinite matrix must route to the native branch and produce the
+    # same NaNs the native kernel does (GP layer turns those into -inf).
+    from tinygp_tpu.ops.dense import blocked_loglik_terms
+
+    rng = np.random.default_rng(13)
+    N = 512
+    K = jnp.asarray(rng.normal(size=(N, N)), jnp.float32)
+    K = 0.5 * (K + K.T)  # symmetric, indefinite
+    r = jnp.asarray(rng.normal(size=N), jnp.float32)
+    quad, hld = jax.jit(
+        lambda K, r: blocked_loglik_terms(
+            K, r, block=256, min_size=0, terms=2
+        )
+    )(K, r)
+    assert not np.isfinite(float(quad)) or not np.isfinite(float(hld))
+
+
+def test_fused_loglik_gradients_match_native():
+    from tinygp_tpu.ops.dense import blocked_loglik_terms
+
+    K, r = _loglik_fixture(14, 512)
+
+    def fused(K, r):
+        q, h = blocked_loglik_terms(K, r, block=256, min_size=0, terms=3)
+        return -0.5 * q - h
+
+    def native(K, r):
+        L = jnp.linalg.cholesky(K)
+        a = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+        return -0.5 * jnp.sum(a**2) - jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    gK, gr = jax.jit(jax.grad(fused, argnums=(0, 1)))(K, r)
+    gK0, gr0 = jax.jit(jax.grad(native, argnums=(0, 1)))(K, r)
+    scale = float(np.max(np.abs(gK0)))
+    assert float(np.max(np.abs(gK - gK0))) < 5e-4 * scale
+    rscale = float(np.max(np.abs(gr0)))
+    assert float(np.max(np.abs(gr - gr0))) < 5e-4 * rscale
+
+
+def test_direct_solver_fused_loglik_dispatch(monkeypatch):
+    # The GP log-probability through DirectSolver must agree between the
+    # fused path (forced by shrinking the size gate) and the generic route.
+    import tinygp_tpu.ops.dense as dense_mod
+    from tinygp_tpu import GaussianProcess, kernels
+
+    rng = np.random.default_rng(15)
+    N = 600
+    X = jnp.asarray(np.sort(rng.uniform(0, 10, N)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=N), jnp.float32)
+    kernel = 1.5 * kernels.Matern32(scale=2.5)
+
+    gp = GaussianProcess(kernel, X, diag=0.1)
+    lp_generic = float(gp.log_probability(y))
+
+    monkeypatch.setattr(dense_mod, "_MIN_BLOCKED", 256)
+    gp2 = GaussianProcess(kernel, X, diag=0.1)
+    lp_fused = float(gp2.log_probability(y))
+    assert abs(lp_fused - lp_generic) < 5e-4 * abs(lp_generic) + 1e-3

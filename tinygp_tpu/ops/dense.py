@@ -56,6 +56,7 @@ from __future__ import annotations
 
 __all__ = [
     "blocked_cholesky",
+    "blocked_loglik_terms",
     "blocked_solve_triangular",
     "cholesky_with_fallback",
     "split_matmul",
@@ -342,6 +343,234 @@ def cholesky_with_fallback(
     rel = jnp.max(resid / jnp.maximum(jnp.abs(dK), jnp.finfo(K.dtype).tiny))
     bad = bad | (rel > _DIAG_RESID_TOL) | jnp.isnan(rel)
     return lax.cond(bad, jnp.linalg.cholesky, lambda _: L, K)
+
+
+def _native_loglik_terms(K: Array, r: Array) -> tuple[Array, Array]:
+    """Reference ``(r^T K^-1 r, log|chol(K)|)`` via the native kernels."""
+    L = jnp.linalg.cholesky(K)
+    a = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+    return jnp.sum(jnp.square(a)), jnp.sum(jnp.log(jnp.diagonal(L)))
+
+
+def _fused_loglik_impl(
+    K: Array, r: Array, block: int, terms: int, want_factor: bool
+):
+    """One fused pass: scale, pad, factor, and whiten ``r`` interleaved.
+
+    The blocked right-looking factorization of :func:`blocked_cholesky`
+    with three structural changes that remove every auxiliary O(N^2) pass
+    the log-likelihood doesn't need:
+
+    - the symmetric unit-diagonal scaling and the block padding are folded
+      into ONE matrix assembly (XLA fuses the scale multiply into the pad
+      write), and the factor is never rescaled — the scaled system
+      ``Ls x = s*r`` has the same solution ``x = L^{-1} r`` and
+      ``log|L| = sum log diag(Ls) - sum log s``;
+    - forward substitution runs INSIDE the panel loop: each panel's
+      whitened coefficients come from the already-computed panel inverse
+      (one (B,)x(B,B) vector-matrix product) and the running residual is
+      updated with one GEMV against the freshly written ``L21`` — so the
+      separate O(N^2) TRSM (2.4 ms at N=1e4 on v5e) disappears;
+    - the diagonal-reconstruction guard accumulates per panel from values
+      already in registers (``sum(body^2, axis=1)`` against the scaled
+      diagonal's exact value 1), instead of re-reading the factor.
+
+    Returns ``(quad, half_logdet, bad, factor_parts)`` where ``factor_parts``
+    is ``(Ls, s)`` when ``want_factor`` (for the VJP) else ``None``. ``bad``
+    flags NaN/non-positive pivots or a large diagonal residual.
+    """
+    n = K.shape[0]
+    with jax.default_matmul_precision("highest"):
+        d = jnp.diagonal(K)
+        s = jnp.where(
+            d > 0, lax.rsqrt(jnp.maximum(d, jnp.finfo(K.dtype).tiny)), 1.0
+        )
+        pad = (-n) % block
+        m = n + pad
+        Ks = K * s[:, None] * s[None, :]
+        if pad:
+            Ks = jnp.block(
+                [
+                    [Ks, jnp.zeros((n, pad), K.dtype)],
+                    [
+                        jnp.zeros((pad, n), K.dtype),
+                        jnp.eye(pad, dtype=K.dtype),
+                    ],
+                ]
+            )
+        rs = r * s
+        if pad:
+            rs = jnp.concatenate([rs, jnp.zeros(pad, r.dtype)])
+
+        nb = m // block
+        tile = 256 if block % 256 == 0 else block
+        eye = jnp.eye(block, dtype=K.dtype)
+
+        T = Ks
+        quad = jnp.zeros((), K.dtype)
+        half_logdet = -jnp.sum(jnp.log(s))
+        maxdev = jnp.zeros((), K.dtype)
+        bad_pivot = jnp.zeros((), bool)
+        rowsq = jnp.zeros(m, K.dtype)
+        cols = [] if want_factor else None
+        for k in range(nb):
+            lo = k * block
+            A11 = lax.dynamic_slice(T, (lo, lo), (block, block))
+            L11 = lax.linalg.cholesky(A11, symmetrize_input=False)
+            dL = jnp.diagonal(L11)
+            bad_pivot = bad_pivot | jnp.any(~(dL > 0))
+            half_logdet = half_logdet + jnp.sum(jnp.log(dL))
+            rk = lax.dynamic_slice(rs, (lo,), (block,))
+            if k + 1 < nb:
+                L11invT = jax.scipy.linalg.solve_triangular(
+                    L11, eye, lower=True
+                ).T
+                # alpha_k = L11^{-1} r_k as one vector-matrix product
+                # against the panel inverse already needed for L21.
+                ak = jnp.matmul(rk[None, :], L11invT)[0]
+                hi = lo + block
+                L21 = pallas_dense.split_panel_matmul(
+                    T, L11invT, tile=tile, terms=terms, at=(hi, lo),
+                    rows=m - hi,
+                )
+                T = pallas_dense.syrk_sub_inplace(
+                    T, L21, offset=hi, tile=tile, terms=terms
+                )
+                tail = lax.dynamic_slice(rs, (hi,), (m - hi,))
+                rs = lax.dynamic_update_slice(
+                    rs, tail - jnp.matmul(L21, ak), (hi,)
+                )
+                body_sq = jnp.concatenate(
+                    [
+                        jnp.sum(jnp.square(L11), axis=1),
+                        jnp.sum(jnp.square(L21), axis=1),
+                    ]
+                )
+                if want_factor:
+                    cols.append(jnp.concatenate([L11, L21], axis=0))
+            else:
+                ak = jax.scipy.linalg.solve_triangular(L11, rk, lower=True)
+                body_sq = jnp.sum(jnp.square(L11), axis=1)
+                if want_factor:
+                    cols.append(L11)
+            quad = quad + jnp.sum(jnp.square(ak))
+            seg = lax.dynamic_slice(rowsq, (lo,), (m - lo,))
+            rowsq = lax.dynamic_update_slice(rowsq, seg + body_sq, (lo,))
+
+        # Scaled diagonal is exactly 1 (pad rows are identity rows), so the
+        # reconstruction residual needs no reference vector.
+        maxdev = jnp.max(jnp.abs(rowsq - 1.0))
+        bad = bad_pivot | (maxdev > _DIAG_RESID_TOL) | jnp.isnan(maxdev)
+
+        factor = None
+        if want_factor:
+            padded = []
+            for k, body in enumerate(cols):
+                zpad = jnp.zeros((k * block, block), K.dtype)
+                padded.append(jnp.concatenate([zpad, body], axis=0))
+            factor = (jnp.concatenate(padded, axis=1), s)
+        return quad, half_logdet, bad, factor
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused_loglik(K: Array, r: Array, block: int, terms: int):
+    quad, half_logdet, bad, _ = _fused_loglik_impl(
+        K, r, block, terms, want_factor=False
+    )
+    return lax.cond(
+        bad,
+        _native_loglik_terms,
+        lambda *_: (quad, half_logdet),
+        K,
+        r,
+    )
+
+
+def _fused_loglik_fwd(K, r, block, terms):
+    quad, half_logdet, bad, (Ls, s) = _fused_loglik_impl(
+        K, r, block, terms, want_factor=True
+    )
+
+    def native(K, r):
+        L = jnp.linalg.cholesky(K)
+        a = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+        return (
+            jnp.sum(jnp.square(a)),
+            jnp.sum(jnp.log(jnp.diagonal(L))),
+            L,
+            jnp.ones_like(s[: K.shape[0]]),
+        )
+
+    def fused(K, r):
+        n = K.shape[0]
+        return quad, half_logdet, Ls[:n, :n], s
+
+    quad, half_logdet, Lout, sout = lax.cond(bad, native, fused, K, r)
+    return (quad, half_logdet), (Lout, sout, r)
+
+
+def _fused_loglik_bwd(block, terms, res, cts):
+    # quad = r^T K^-1 r, half_logdet = 0.5 log|K|; with cotangents
+    # (qbar, lbar): Kbar = -qbar beta beta^T + 0.5 lbar K^-1, rbar = 2 qbar
+    # beta, where beta = K^-1 r. The factor is held in scaled form
+    # (K = D^-1 Ls Ls^T D^-1 with D = diag(s)): beta = s * Ls^-T Ls^-1 (s r)
+    # costs two thin solves; K^-1 comes from one N-RHS triangular solve
+    # plus a fast-path split SYRK.
+    Ls, s, r = res
+    qbar, lbar = cts
+    with jax.default_matmul_precision("highest"):
+        a = jax.scipy.linalg.solve_triangular(Ls, s * r, lower=True)
+        beta = s * jax.scipy.linalg.solve_triangular(
+            Ls, a, lower=True, trans=1
+        )
+        Linv = jax.scipy.linalg.solve_triangular(
+            Ls, jnp.eye(Ls.shape[0], dtype=Ls.dtype), lower=True
+        )
+    # K^-1 = D Ls^-T Ls^-1 D, via the 4-GEMM split SYRK of Linv^T.
+    Kinv = split_syrk(jnp.swapaxes(Linv, -1, -2)) * (
+        s[:, None] * s[None, :]
+    )
+    Kbar = -qbar * jnp.outer(beta, beta) + (0.5 * lbar) * Kinv
+    Kbar = 0.5 * (Kbar + Kbar.T)
+    rbar = (2.0 * qbar) * beta
+    return Kbar, rbar
+
+
+_fused_loglik.defvjp(_fused_loglik_fwd, _fused_loglik_bwd)
+
+
+def blocked_loglik_terms(
+    K: Array,
+    r: Array,
+    *,
+    block: int = _BLOCK,
+    min_size: int = _MIN_BLOCKED,
+    terms: int | None = None,
+    rel_floor: Array | None = None,
+) -> tuple[Array, Array]:
+    """``(r^T K^-1 r, log|chol(K)|)`` in one fused blocked pass.
+
+    The dense analog of the quasiseparable solver's fused
+    ``log_likelihood`` path: factorization and whitening share one panel
+    loop (see :func:`_fused_loglik_impl`), with the same runtime split-
+    order selection and breakdown fallback as
+    :func:`cholesky_with_fallback`. Differentiable (custom VJP).
+
+    Replaces, at the call site, the reference's factor-then-solve pair
+    ``/root/reference/src/tinygp/solvers/direct.py:53,66-70``.
+    """
+    n = K.shape[0]
+    if n < max(min_size, block) or K.dtype != jnp.float32:
+        return _native_loglik_terms(K, r)
+    if terms is None and rel_floor is not None:
+        return lax.cond(
+            rel_floor > _FAST_FLOOR,
+            lambda K, r: _fused_loglik(K, r, block, 2),
+            lambda K, r: _fused_loglik(K, r, block, 3),
+            K,
+            r,
+        )
+    return _fused_loglik(K, r, block, _TERMS if terms is None else terms)
 
 
 def blocked_solve_triangular(

@@ -30,8 +30,9 @@ from jax.scipy import linalg
 from tinygp_tpu import kernels
 from tinygp_tpu.helpers import Array
 from tinygp_tpu.noise import Diagonal, Noise
-from tinygp_tpu.ops.dense import cholesky_with_fallback
+from tinygp_tpu.ops.dense import blocked_loglik_terms, cholesky_with_fallback
 from tinygp_tpu.solvers.solver import Solver
+from tinygp_tpu.utils.module import static_field
 
 
 class DirectSolver(Solver):
@@ -41,6 +42,8 @@ class DirectSolver(Solver):
     variance_value: Array
     covariance_value: Array
     scale_tril: Array
+    rel_floor: Array
+    blocked: bool = static_field(default=True)
 
     def __init__(
         self,
@@ -82,12 +85,15 @@ class DirectSolver(Solver):
                 covariance, rel_floor=rel_floor
             )
         else:
+            rel_floor = jnp.zeros(())
             scale_tril = linalg.cholesky(covariance, lower=True)
         self._init(
             X=X,
             variance_value=variance_value,
             covariance_value=covariance,
             scale_tril=scale_tril,
+            rel_floor=rel_floor,
+            blocked=blocked,
         )
 
     def variance(self) -> Array:
@@ -100,6 +106,35 @@ class DirectSolver(Solver):
         n = self.scale_tril.shape[0]
         half_log2pi = 0.5 * np.log(2.0 * np.pi)
         return jnp.sum(jnp.log(jnp.diag(self.scale_tril))) + n * half_log2pi
+
+    def log_likelihood(self, r: Array) -> Array:
+        """Fused factor-and-whiten for large f32 covariances.
+
+        One blocked panel loop computes the quadratic form and the log
+        determinant together (``ops.dense.blocked_loglik_terms``): the
+        scaling/padding passes fold into the matrix assembly, forward
+        substitution interleaves with the factorization (no separate
+        O(N^2) TRSM), and the factor is never rescaled. Under ``jit`` the
+        eagerly-built ``scale_tril`` is dead code on this path and XLA
+        eliminates it. Small/f64/batched inputs use the generic route.
+        """
+        n = self.covariance_value.shape[0]
+        from tinygp_tpu.ops import dense as _dense
+
+        if (
+            not self.blocked
+            or r.ndim != 1
+            or self.covariance_value.dtype != jnp.float32
+            or n < _dense._MIN_BLOCKED
+        ):
+            return super().log_likelihood(r)
+        quad, half_logdet = blocked_loglik_terms(
+            self.covariance_value,
+            r,
+            min_size=_dense._MIN_BLOCKED,
+            rel_floor=self.rel_floor,
+        )
+        return -0.5 * (quad + n * np.log(2.0 * np.pi)) - half_logdet
 
     def solve_triangular(self, y: Array, *, transpose: bool = False) -> Array:
         # Native TRSM: a blocked substitution (ops.dense.
