@@ -369,3 +369,67 @@ def test_direct_solver_fused_loglik_dispatch(monkeypatch):
     gp2 = GaussianProcess(kernel, X, diag=0.1)
     lp_fused = float(gp2.log_probability(y))
     assert abs(lp_fused - lp_generic) < 5e-4 * abs(lp_generic) + 1e-3
+
+
+def test_kernel_strip_loglik_matches_f64_oracle():
+    # The strip-built path (gram never materialized) must agree with the
+    # f64 oracle including the ragged/padded tail and both split orders.
+    from tinygp_tpu import kernels
+    from tinygp_tpu.ops.dense import kernel_loglik_terms
+
+    rng = np.random.default_rng(21)
+    N = 1100
+    X = jnp.asarray(np.sort(rng.uniform(0, 10, N)), jnp.float32)
+    r = jnp.asarray(rng.normal(size=N), jnp.float32)
+    kernel = kernels.Constant(jnp.float32(1.5)) * kernels.Matern32(
+        scale=jnp.float32(2.5)
+    )
+    noise_diag = jnp.full(N, 0.1, jnp.float32)
+
+    K = (kernel(X, X) + jnp.diag(noise_diag)).astype(jnp.float32)
+    q0, h0 = _native_terms_f64(K, r)
+    for floor in (0.5, 1e-6):
+        quad, hld = jax.jit(
+            lambda X, r, f=floor: kernel_loglik_terms(
+                kernel, X, noise_diag, r, block=256,
+                rel_floor=jnp.float32(f),
+            )
+        )(X, r)
+        assert abs(float(quad) - q0) / abs(q0) < 5e-4, floor
+        assert abs(float(hld) - h0) < 5e-3 * abs(h0) + 1e-2, floor
+
+
+def test_kernel_strip_loglik_grad_matches_native():
+    from tinygp_tpu import kernels
+    from tinygp_tpu.ops.dense import kernel_loglik_terms
+
+    rng = np.random.default_rng(22)
+    N = 512
+    X = jnp.asarray(np.sort(rng.uniform(0, 10, N)), jnp.float32)
+    r = jnp.asarray(rng.normal(size=N), jnp.float32)
+    noise_diag = jnp.full(N, 0.1, jnp.float32)
+
+    def fused(p):
+        kernel = kernels.Constant(p["amp"]) * kernels.Matern32(
+            scale=p["scale"]
+        )
+        q, h = kernel_loglik_terms(
+            kernel, X, noise_diag, r, block=256, terms=3
+        )
+        return -0.5 * q - h
+
+    def native(p):
+        kernel = kernels.Constant(p["amp"]) * kernels.Matern32(
+            scale=p["scale"]
+        )
+        K = kernel(X, X) + jnp.diag(noise_diag)
+        L = jnp.linalg.cholesky(K)
+        a = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+        return -0.5 * jnp.sum(a**2) - jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    p = {"amp": jnp.float32(1.5), "scale": jnp.float32(2.5)}
+    v1, g1 = jax.jit(jax.value_and_grad(fused))(p)
+    v0, g0 = jax.jit(jax.value_and_grad(native))(p)
+    assert abs(float(v1) - float(v0)) < 5e-4 * abs(float(v0)) + 1e-3
+    for k in p:
+        assert abs(float(g1[k]) - float(g0[k])) < 2e-3 * abs(float(g0[k])) + 1e-3, k

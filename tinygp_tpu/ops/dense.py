@@ -59,6 +59,7 @@ __all__ = [
     "blocked_loglik_terms",
     "blocked_solve_triangular",
     "cholesky_with_fallback",
+    "kernel_loglik_terms",
     "split_matmul",
     "split_syrk",
 ]
@@ -352,66 +353,43 @@ def _native_loglik_terms(K: Array, r: Array) -> tuple[Array, Array]:
     return jnp.sum(jnp.square(a)), jnp.sum(jnp.log(jnp.diagonal(L)))
 
 
-def _fused_loglik_impl(
-    K: Array, r: Array, block: int, terms: int, want_factor: bool
+def _scaled_loglik_impl(
+    T: Array, rs: Array, block: int, terms: int, want_factor: bool
 ):
-    """One fused pass: scale, pad, factor, and whiten ``r`` interleaved.
+    """Factor a scaled padded SPD system and whiten ``rs`` in one loop.
 
-    The blocked right-looking factorization of :func:`blocked_cholesky`
-    with three structural changes that remove every auxiliary O(N^2) pass
-    the log-likelihood doesn't need:
+    ``T`` is the ``(m, m)`` unit-diagonal symmetrically-scaled covariance,
+    padded to a ``block`` multiple with identity rows/columns; only its
+    lower triangle must be valid. ``rs`` is the matching scaled residual
+    (zero in the pad). The blocked right-looking factorization of
+    :func:`blocked_cholesky` with three structural changes that remove
+    every auxiliary O(N^2) pass the log-likelihood doesn't need:
 
-    - the symmetric unit-diagonal scaling and the block padding are folded
-      into ONE matrix assembly (XLA fuses the scale multiply into the pad
-      write), and the factor is never rescaled — the scaled system
-      ``Ls x = s*r`` has the same solution ``x = L^{-1} r`` and
-      ``log|L| = sum log diag(Ls) - sum log s``;
     - forward substitution runs INSIDE the panel loop: each panel's
       whitened coefficients come from the already-computed panel inverse
       (one (B,)x(B,B) vector-matrix product) and the running residual is
       updated with one GEMV against the freshly written ``L21`` — so the
       separate O(N^2) TRSM (2.4 ms at N=1e4 on v5e) disappears;
+    - the factor is never assembled or rescaled (callers adjust
+      ``log|L| = sum log diag(Ls) - sum log s`` themselves);
     - the diagonal-reconstruction guard accumulates per panel from values
       already in registers (``sum(body^2, axis=1)`` against the scaled
       diagonal's exact value 1), instead of re-reading the factor.
 
-    Returns ``(quad, half_logdet, bad, factor_parts)`` where ``factor_parts``
-    is ``(Ls, s)`` when ``want_factor`` (for the VJP) else ``None``. ``bad``
-    flags NaN/non-positive pivots or a large diagonal residual.
+    Returns ``(quad, half_logdet_scaled, bad, Ls_or_None)``. ``bad`` flags
+    NaN/non-positive pivots or a large diagonal residual.
     """
-    n = K.shape[0]
+    m = T.shape[0]
     with jax.default_matmul_precision("highest"):
-        d = jnp.diagonal(K)
-        s = jnp.where(
-            d > 0, lax.rsqrt(jnp.maximum(d, jnp.finfo(K.dtype).tiny)), 1.0
-        )
-        pad = (-n) % block
-        m = n + pad
-        Ks = K * s[:, None] * s[None, :]
-        if pad:
-            Ks = jnp.block(
-                [
-                    [Ks, jnp.zeros((n, pad), K.dtype)],
-                    [
-                        jnp.zeros((pad, n), K.dtype),
-                        jnp.eye(pad, dtype=K.dtype),
-                    ],
-                ]
-            )
-        rs = r * s
-        if pad:
-            rs = jnp.concatenate([rs, jnp.zeros(pad, r.dtype)])
-
         nb = m // block
         tile = 256 if block % 256 == 0 else block
-        eye = jnp.eye(block, dtype=K.dtype)
+        eye = jnp.eye(block, dtype=T.dtype)
 
-        T = Ks
-        quad = jnp.zeros((), K.dtype)
-        half_logdet = -jnp.sum(jnp.log(s))
-        maxdev = jnp.zeros((), K.dtype)
+        rs = rs.astype(T.dtype)
+        quad = jnp.zeros((), T.dtype)
+        half_logdet = jnp.zeros((), T.dtype)
         bad_pivot = jnp.zeros((), bool)
-        rowsq = jnp.zeros(m, K.dtype)
+        rowsq = jnp.zeros(m, T.dtype)
         cols = [] if want_factor else None
         for k in range(nb):
             lo = k * block
@@ -466,77 +444,106 @@ def _fused_loglik_impl(
         if want_factor:
             padded = []
             for k, body in enumerate(cols):
-                zpad = jnp.zeros((k * block, block), K.dtype)
+                zpad = jnp.zeros((k * block, block), T.dtype)
                 padded.append(jnp.concatenate([zpad, body], axis=0))
-            factor = (jnp.concatenate(padded, axis=1), s)
+            factor = jnp.concatenate(padded, axis=1)
         return quad, half_logdet, bad, factor
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _fused_loglik(K: Array, r: Array, block: int, terms: int):
-    quad, half_logdet, bad, _ = _fused_loglik_impl(
-        K, r, block, terms, want_factor=False
+def _native_scaled_terms(T: Array, rs: Array) -> tuple[Array, Array]:
+    """Accurate fallback on the scaled padded system (lower triangle)."""
+    Ls = lax.linalg.cholesky(T, symmetrize_input=False)
+    a = jax.scipy.linalg.solve_triangular(Ls, rs, lower=True)
+    return jnp.sum(jnp.square(a)), jnp.sum(jnp.log(jnp.diagonal(Ls)))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _scaled_loglik(
+    T: Array, rs: Array, block: int, terms: int, lower_only: bool = False
+):
+    quad, half_logdet, bad, _ = _scaled_loglik_impl(
+        T, rs, block, terms, want_factor=False
     )
     return lax.cond(
         bad,
-        _native_loglik_terms,
+        _native_scaled_terms,
         lambda *_: (quad, half_logdet),
-        K,
-        r,
+        T,
+        rs,
     )
 
 
-def _fused_loglik_fwd(K, r, block, terms):
-    quad, half_logdet, bad, (Ls, s) = _fused_loglik_impl(
-        K, r, block, terms, want_factor=True
+def _scaled_loglik_fwd(T, rs, block, terms, lower_only):
+    quad, half_logdet, bad, Ls = _scaled_loglik_impl(
+        T, rs, block, terms, want_factor=True
     )
 
-    def native(K, r):
-        L = jnp.linalg.cholesky(K)
-        a = jax.scipy.linalg.solve_triangular(L, r, lower=True)
+    def native(T, rs):
+        Ls = lax.linalg.cholesky(T, symmetrize_input=False)
+        a = jax.scipy.linalg.solve_triangular(Ls, rs, lower=True)
         return (
             jnp.sum(jnp.square(a)),
-            jnp.sum(jnp.log(jnp.diagonal(L))),
-            L,
-            jnp.ones_like(s[: K.shape[0]]),
+            jnp.sum(jnp.log(jnp.diagonal(Ls))),
+            Ls,
         )
 
-    def fused(K, r):
-        n = K.shape[0]
-        return quad, half_logdet, Ls[:n, :n], s
-
-    quad, half_logdet, Lout, sout = lax.cond(bad, native, fused, K, r)
-    return (quad, half_logdet), (Lout, sout, r)
+    quad, half_logdet, Lout = lax.cond(
+        bad, native, lambda *_: (quad, half_logdet, Ls), T, rs
+    )
+    return (quad, half_logdet), (Lout, rs)
 
 
-def _fused_loglik_bwd(block, terms, res, cts):
-    # quad = r^T K^-1 r, half_logdet = 0.5 log|K|; with cotangents
-    # (qbar, lbar): Kbar = -qbar beta beta^T + 0.5 lbar K^-1, rbar = 2 qbar
-    # beta, where beta = K^-1 r. The factor is held in scaled form
-    # (K = D^-1 Ls Ls^T D^-1 with D = diag(s)): beta = s * Ls^-T Ls^-1 (s r)
-    # costs two thin solves; K^-1 comes from one N-RHS triangular solve
-    # plus a fast-path split SYRK.
-    Ls, s, r = res
+def _scaled_loglik_bwd(block, terms, lower_only, res, cts):
+    # quad = rs^T T^-1 rs, half_logdet = 0.5 log|T|; with cotangents
+    # (qbar, lbar): Tbar = -qbar beta beta^T + 0.5 lbar T^-1 and
+    # rsbar = 2 qbar beta, where beta = T^-1 rs. beta costs two thin
+    # triangular solves; T^-1 one N-RHS solve plus a fast-path split SYRK.
+    # The scaling/padding that produced T differentiates OUTSIDE this
+    # boundary through ordinary AD of the (elementwise) construction.
+    Ls, rs = res
     qbar, lbar = cts
     with jax.default_matmul_precision("highest"):
-        a = jax.scipy.linalg.solve_triangular(Ls, s * r, lower=True)
-        beta = s * jax.scipy.linalg.solve_triangular(
-            Ls, a, lower=True, trans=1
-        )
+        a = jax.scipy.linalg.solve_triangular(Ls, rs, lower=True)
+        beta = jax.scipy.linalg.solve_triangular(Ls, a, lower=True, trans=1)
         Linv = jax.scipy.linalg.solve_triangular(
             Ls, jnp.eye(Ls.shape[0], dtype=Ls.dtype), lower=True
         )
-    # K^-1 = D Ls^-T Ls^-1 D, via the 4-GEMM split SYRK of Linv^T.
-    Kinv = split_syrk(jnp.swapaxes(Linv, -1, -2)) * (
-        s[:, None] * s[None, :]
+    Tinv = split_syrk(jnp.swapaxes(Linv, -1, -2))
+    Tbar = -qbar * jnp.outer(beta, beta) + (0.5 * lbar) * Tinv
+    Tbar = 0.5 * (Tbar + Tbar.T)
+    if lower_only:
+        # The primal reads only tril(T) (strip-built operands leave the
+        # upper triangle zero), so the gradient with respect to the input
+        # AS CONSUMED doubles the strict-lower entries and zeroes the
+        # upper — the symmetric form above is correct only when the caller
+        # materializes both triangles.
+        Tbar = 2.0 * jnp.tril(Tbar, -1) + jnp.diag(jnp.diagonal(Tbar))
+    rsbar = (2.0 * qbar) * beta
+    return Tbar, rsbar
+
+
+_scaled_loglik.defvjp(_scaled_loglik_fwd, _scaled_loglik_bwd)
+
+
+def _scaled_terms_dispatch(T, rs, block, terms, rel_floor, lower_only=False):
+    """Runtime split-order selection on the scaled system."""
+    if terms is None and rel_floor is not None:
+        return lax.cond(
+            rel_floor > _FAST_FLOOR,
+            lambda T, rs: _scaled_loglik(T, rs, block, 2, lower_only),
+            lambda T, rs: _scaled_loglik(T, rs, block, 3, lower_only),
+            T,
+            rs,
+        )
+    return _scaled_loglik(
+        T, rs, block, _TERMS if terms is None else terms, lower_only
     )
-    Kbar = -qbar * jnp.outer(beta, beta) + (0.5 * lbar) * Kinv
-    Kbar = 0.5 * (Kbar + Kbar.T)
-    rbar = (2.0 * qbar) * beta
-    return Kbar, rbar
 
 
-_fused_loglik.defvjp(_fused_loglik_fwd, _fused_loglik_bwd)
+def _safe_rsqrt(d: Array) -> Array:
+    return jnp.where(
+        d > 0, lax.rsqrt(jnp.maximum(d, jnp.finfo(d.dtype).tiny)), 1.0
+    )
 
 
 def blocked_loglik_terms(
@@ -552,9 +559,10 @@ def blocked_loglik_terms(
 
     The dense analog of the quasiseparable solver's fused
     ``log_likelihood`` path: factorization and whitening share one panel
-    loop (see :func:`_fused_loglik_impl`), with the same runtime split-
+    loop (see :func:`_scaled_loglik_impl`), with the same runtime split-
     order selection and breakdown fallback as
-    :func:`cholesky_with_fallback`. Differentiable (custom VJP).
+    :func:`cholesky_with_fallback`. Differentiable (the factorization has
+    a custom VJP; the scaling differentiates by ordinary AD).
 
     Replaces, at the call site, the reference's factor-then-solve pair
     ``/root/reference/src/tinygp/solvers/direct.py:53,66-70``.
@@ -562,15 +570,115 @@ def blocked_loglik_terms(
     n = K.shape[0]
     if n < max(min_size, block) or K.dtype != jnp.float32:
         return _native_loglik_terms(K, r)
-    if terms is None and rel_floor is not None:
-        return lax.cond(
-            rel_floor > _FAST_FLOOR,
-            lambda K, r: _fused_loglik(K, r, block, 2),
-            lambda K, r: _fused_loglik(K, r, block, 3),
-            K,
-            r,
+    s = _safe_rsqrt(jnp.diagonal(K))
+    pad = (-n) % block
+    Ks = K * s[:, None] * s[None, :]
+    if pad:
+        Ks = jnp.block(
+            [
+                [Ks, jnp.zeros((n, pad), K.dtype)],
+                [jnp.zeros((pad, n), K.dtype), jnp.eye(pad, dtype=K.dtype)],
+            ]
         )
-    return _fused_loglik(K, r, block, _TERMS if terms is None else terms)
+    rs = r * s
+    if pad:
+        rs = jnp.concatenate([rs, jnp.zeros(pad, rs.dtype)])
+    quad, hld_scaled = _scaled_terms_dispatch(Ks, rs, block, terms, rel_floor)
+    return quad, hld_scaled - jnp.sum(jnp.log(s))
+
+
+def kernel_loglik_terms(
+    kernel,
+    X,
+    noise_diag: Array,
+    r: Array,
+    *,
+    variance: Array | None = None,
+    block: int = _BLOCK,
+    terms: int | None = None,
+    rel_floor: Array | None = None,
+) -> tuple[Array, Array]:
+    """Fused log-likelihood terms straight from the kernel — no gram matrix.
+
+    Builds the scaled padded working matrix in per-panel STRIPS evaluated
+    directly from ``kernel`` on slices of ``X`` (only at-or-below-diagonal
+    panels), so:
+
+    - the kernel function evaluates on N^2/2 + O(N B) point pairs instead
+      of N^2 (the gram build is transcendental-bound: 4 ms of the 24 ms
+      N=1e4 pipeline was kernel evaluation, half of it above the
+      diagonal);
+    - the noise add, the unit-diagonal scaling, and the block padding all
+      fuse into the one pass that writes each strip (the materialized-K
+      route costs three extra full passes: measured 1.2 ms scatter-based
+      noise add + 1.2 ms scale + 1.2 ms pad at N=1e4);
+    - the full covariance is never materialized: the strips concatenate
+      straight into the factorization's working buffer.
+
+    Replaces ``/root/reference/src/tinygp/kernels/base.py:94-96`` at the
+    call site ``/root/reference/src/tinygp/solvers/direct.py:51-53``.
+    """
+    leaves = jax.tree_util.tree_leaves(X)
+    n = leaves[0].shape[0]
+
+    def xslice(lo, hi):
+        return jax.tree_util.tree_map(lambda a: a[lo:hi], X)
+
+    if variance is None:
+        variance = kernel(X) + noise_diag
+    dtype = jnp.result_type(variance.dtype, r.dtype)
+    if dtype != jnp.float32:
+        # The split-precision panel loop is f32-only; build the gram the
+        # plain way and use the native kernels (x64 mode, etc).
+        ii = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        jj = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        K = kernel(X, X) + jnp.where(
+            ii == jj, noise_diag[:, None], jnp.zeros((), dtype)
+        )
+        return _native_loglik_terms(K, r)
+    r = r.astype(dtype)
+    s = _safe_rsqrt(variance)
+
+    pad = (-n) % block
+    m = n + pad
+    nb = m // block
+    strips = []
+    for k in range(nb):
+        lo = k * block
+        cr = min(lo + block, n)  # last real column of this strip
+        G = kernel(xslice(lo, n), xslice(lo, cr))  # (n - lo, cr - lo)
+        ii = lax.broadcasted_iota(jnp.int32, G.shape, 0)
+        jj = lax.broadcasted_iota(jnp.int32, G.shape, 1)
+        G = G + jnp.where(
+            ii == jj, noise_diag[lo:cr][None, :], jnp.zeros((), dtype)
+        )
+        strip = G * s[lo:n, None] * s[None, lo:cr]
+        if cr < lo + block:  # pad columns (only the last strip)
+            strip = jnp.concatenate(
+                [strip, jnp.zeros((n - lo, lo + block - cr), dtype)], axis=1
+            )
+        if pad:  # pad rows: identity in the pad block, zeros elsewhere
+            bottom = jnp.zeros((pad, block), dtype)
+            if cr < lo + block:
+                bottom = jnp.concatenate(
+                    [
+                        jnp.zeros((pad, cr - lo), dtype),
+                        jnp.eye(pad, dtype=dtype),
+                    ],
+                    axis=1,
+                )
+            strip = jnp.concatenate([strip, bottom], axis=0)
+        strips.append(
+            jnp.concatenate([jnp.zeros((lo, block), dtype), strip], axis=0)
+        )
+    T = jnp.concatenate(strips, axis=1)
+    rs = r * s
+    if pad:
+        rs = jnp.concatenate([rs, jnp.zeros(pad, dtype)])
+    quad, hld_scaled = _scaled_terms_dispatch(
+        T, rs, block, terms, rel_floor, lower_only=True
+    )
+    return quad, hld_scaled - jnp.sum(jnp.log(s))
 
 
 def blocked_solve_triangular(

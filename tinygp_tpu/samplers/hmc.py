@@ -352,7 +352,18 @@ def nuts(
             steps_done,
         )
 
-    def step_fn(key, state: HMCState, step_size, inv_mass):
+    def step_fn(key, state: HMCState, step_size, inv_mass, depth_cap=None):
+        # ``depth_cap``: optional TRACED bound <= max_tree_depth. The warmup
+        # can anneal it (shallow trees while chains are far from the typical
+        # set and the step size is untuned) without recompiling — the tree
+        # state and checkpoint buffers stay sized for max_tree_depth.
+        cap = (
+            jnp.asarray(max_tree_depth, jnp.int32)
+            if depth_cap is None
+            else jnp.minimum(
+                jnp.asarray(depth_cap, jnp.int32), max_tree_depth
+            )
+        )
         key_mom, key_tree = jax.random.split(key)
         r0 = jax.random.normal(key_mom, state.z.shape) / jnp.sqrt(inv_mass)
         energy0 = -state.log_prob + _kinetic(r0, inv_mass)
@@ -378,11 +389,7 @@ def nuts(
 
         def cond(carry):
             _, tree = carry
-            return (
-                (tree.depth < max_tree_depth)
-                & ~tree.turning
-                & ~tree.diverging
-            )
+            return (tree.depth < cap) & ~tree.turning & ~tree.diverging
 
         def body(carry):
             key, tree = carry
@@ -578,30 +585,53 @@ def find_initial_step_size(
     an order of magnitude.
     """
     value_and_grad = jax.value_and_grad(log_prob_fn)
-    r0 = jax.random.normal(key, states.z.shape)
+    dtype = states.z.dtype
 
     @jax.jit
-    def mean_accept(eps):
-        def one(z, r, lp, grad):
-            _, r1, lp1, _ = _leapfrog(value_and_grad, z, r, grad, eps, 1.0)
-            delta = (lp1 - 0.5 * jnp.sum(r1 * r1)) - (
-                lp - 0.5 * jnp.sum(r * r)
-            )
-            return jnp.exp(jnp.minimum(jnp.where(jnp.isnan(delta), -jnp.inf, delta), 0.0))
+    def search(z, lp, grad, key):
+        # One device program: the doubling loop is a ``lax.while_loop``, so
+        # the host pays a single dispatch instead of up to ``max_doublings``
+        # round trips (each ~25-40 ms through the tunnel).
+        r0 = jax.random.normal(key, z.shape)
 
-        return jnp.mean(
-            jax.vmap(one)(states.z, r0, states.log_prob, states.grad)
+        def mean_accept(eps):
+            def one(z, r, lp, grad):
+                _, r1, lp1, _ = _leapfrog(
+                    value_and_grad, z, r, grad, eps, 1.0
+                )
+                delta = (lp1 - 0.5 * jnp.sum(r1 * r1)) - (
+                    lp - 0.5 * jnp.sum(r * r)
+                )
+                return jnp.exp(
+                    jnp.minimum(
+                        jnp.where(jnp.isnan(delta), -jnp.inf, delta), 0.0
+                    )
+                )
+
+            return jnp.mean(jax.vmap(one)(z, r0, lp, grad))
+
+        p0 = mean_accept(jnp.asarray(initial, dtype))
+        direction = jnp.where(p0 > 0.5, 1.0, -1.0).astype(dtype)
+
+        def cond(carry):
+            _eps, it, done = carry
+            return (~done) & (it < max_doublings)
+
+        def body(carry):
+            eps, it, _done = carry
+            eps = eps * (2.0**direction).astype(dtype)
+            p = mean_accept(eps)
+            crossed = jnp.where(direction > 0, p <= 0.5, p >= 0.5)
+            return eps, it + 1, crossed
+
+        eps, _, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (jnp.asarray(initial, dtype), jnp.asarray(0, jnp.int32), False),
         )
+        return eps
 
-    eps = float(initial)
-    p = float(mean_accept(jnp.asarray(eps, states.z.dtype)))
-    direction = 1.0 if p > 0.5 else -1.0
-    for _ in range(max_doublings):
-        eps = eps * (2.0**direction)
-        p = float(mean_accept(jnp.asarray(eps, states.z.dtype)))
-        if (direction > 0 and p <= 0.5) or (direction < 0 and p >= 0.5):
-            break
-    return jnp.asarray(eps, states.z.dtype)
+    return search(states.z, states.log_prob, states.grad, key)
 
 
 def window_adaptation(
@@ -611,6 +641,7 @@ def window_adaptation(
     target_accept: float = 0.8,
     initial_step_size: float = 0.1,
     axis: str | None = None,
+    step_kwargs_fn=None,
 ):
     """Warmup: dual-averaged step size + staged diagonal mass adaptation.
 
@@ -629,6 +660,12 @@ def window_adaptation(
     Returns ``run(keys, states) -> (states, step_size, inv_mass, info)``,
     where ``keys``/``states`` carry a leading chain axis and ``info`` is a
     :class:`WarmupInfo`.
+
+    ``step_kwargs_fn``, when given, maps the (traced) step index to extra
+    keyword arguments for ``step_fn`` — e.g. an annealed ``depth_cap`` for
+    NUTS during the initial fast buffer. ``init`` accepts an optional
+    ``step_size`` override so a searched initial step need not be baked
+    into the (cacheable) closure.
     """
     init_buffer, switch_steps, term_buffer = _warmup_schedule(num_warmup)
     num_windows = len(switch_steps) + 2
@@ -641,11 +678,13 @@ def window_adaptation(
         s = jnp.sum(x)
         return jax.lax.psum(s, axis) if axis is not None else s
 
-    def init(states: HMCState):
+    def init(states: HMCState, step_size=None):
         dim = states.z.shape[-1]
+        if step_size is None:
+            step_size = initial_step_size
         return (
             states,
-            _da_init(jnp.asarray(initial_step_size)),
+            _da_init(jnp.asarray(step_size)),
             jnp.ones(dim),
             jnp.zeros(dim),
             jnp.zeros(dim),
@@ -672,8 +711,9 @@ def window_adaptation(
         states, da, inv_mass, wmean, wm2, wn, div, acc = carry
         step, keys = inputs
         step_size = jnp.exp(da.log_step)
+        extra = {} if step_kwargs_fn is None else step_kwargs_fn(step)
         states, infos = jax.vmap(
-            lambda k, s: step_fn(k, s, step_size, inv_mass)
+            lambda k, s: step_fn(k, s, step_size, inv_mass, **extra)
         )(keys, states)
         # Cross-chain (and, under shard_map, cross-device) mean accept stat.
         accept = chain_mean(infos.accept_prob)
@@ -715,12 +755,12 @@ def window_adaptation(
         )
         return (states, da, inv_mass, wmean, wm2, wn, div, acc), None
 
-    def run(keys, states: HMCState):
+    def run(keys, states: HMCState, step_size=None):
         all_keys = jax.vmap(
             lambda i: jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, i)
         )(jnp.arange(num_warmup))
         carry, _ = jax.lax.scan(
-            body, init(states), (jnp.arange(num_warmup), all_keys)
+            body, init(states, step_size), (jnp.arange(num_warmup), all_keys)
         )
         return finish(carry)
 
@@ -728,6 +768,139 @@ def window_adaptation(
     run.body = body
     run.finish = finish
     return run
+
+
+_PROGRAM_CACHE: dict = {}
+_PROGRAM_CACHE_LIMIT = 8
+
+
+def _mcmc_programs(
+    log_prob_fn,
+    treedef,
+    leaf_sig,
+    num_chains,
+    num_warmup,
+    sampler,
+    max_tree_depth,
+    num_leapfrog,
+    target_accept,
+    warmup_depth_cap,
+):
+    """Build (and cache) every jitted program one MCMC configuration needs.
+
+    Keyed on the log-prob callable's identity plus the static run
+    configuration, so repeated ``run_mcmc`` calls with the same model reuse
+    traces and compiled executables instead of re-tracing per call (the
+    chunked NUTS programs are large; re-tracing them dominated repeat-run
+    wall time). All run-specific values (PRNG keys, the searched initial
+    step size) enter as traced arguments, never as closure constants.
+    """
+    cache_key = (
+        log_prob_fn,
+        treedef,
+        leaf_sig,
+        num_chains,
+        num_warmup,
+        sampler,
+        max_tree_depth,
+        num_leapfrog,
+        target_accept,
+        warmup_depth_cap,
+    )
+    cached = _PROGRAM_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+
+    example = jax.tree_util.tree_unflatten(
+        treedef, [jnp.zeros(s, d) for s, d in leaf_sig]
+    )
+    ravel, unravel, dim = _ravel_spec(example)
+    flat_log_prob = lambda z: log_prob_fn(unravel(z))
+
+    if sampler == "nuts":
+        init_fn, step_fn = nuts(flat_log_prob, max_tree_depth=max_tree_depth)
+    elif sampler == "hmc":
+        init_fn, step_fn = hmc(flat_log_prob, num_leapfrog=num_leapfrog)
+    else:
+        raise ValueError(f"unknown sampler: {sampler}")
+
+    step_kwargs_fn = None
+    if sampler == "nuts" and warmup_depth_cap is not None:
+        init_buffer = _warmup_schedule(num_warmup)[0]
+        cap = min(int(warmup_depth_cap), max_tree_depth)
+
+        def step_kwargs_fn(step):
+            # Shallow trees while chains walk toward the typical set with an
+            # untuned step size (the initial fast buffer); full depth once
+            # mass adaptation starts. Traced, so no recompilation.
+            return {
+                "depth_cap": jnp.where(step < init_buffer, cap, max_tree_depth)
+            }
+
+    adapt = window_adaptation(
+        step_fn,
+        num_warmup=num_warmup,
+        target_accept=target_accept,
+        step_kwargs_fn=step_kwargs_fn,
+    )
+
+    def sample_body(key_run, carry, step):
+        states, step_size, inv_mass = carry
+        keys = jax.random.split(
+            jax.random.fold_in(key_run, step), num_chains
+        )
+        states, infos = jax.vmap(
+            lambda k, s: step_fn(k, s, step_size, inv_mass)
+        )(keys, states)
+        return (states, step_size, inv_mass), (states.z, infos)
+
+    chunk_fns: dict = {}
+
+    def warm_chunk(length):
+        fn = chunk_fns.get(("warm", length))
+        if fn is None:
+
+            def go(carry, step0, warm_keys):
+                steps = step0 + jnp.arange(length)
+                all_keys = jax.vmap(
+                    lambda i: jax.vmap(
+                        jax.random.fold_in, in_axes=(0, None)
+                    )(warm_keys, i)
+                )(steps)
+                carry, _ = jax.lax.scan(adapt.body, carry, (steps, all_keys))
+                return carry
+
+            fn = chunk_fns[("warm", length)] = jax.jit(go)
+        return fn
+
+    def sample_chunk(length):
+        fn = chunk_fns.get(("sample", length))
+        if fn is None:
+
+            def go(carry, step0, key_run):
+                steps = step0 + jnp.arange(length)
+                return jax.lax.scan(
+                    partial(sample_body, key_run), carry, steps
+                )
+
+            fn = chunk_fns[("sample", length)] = jax.jit(go)
+        return fn
+
+    programs = {
+        "ravel": ravel,
+        "unravel": unravel,
+        "dim": dim,
+        "flat_log_prob": flat_log_prob,
+        "init_fn": init_fn,
+        "step_fn": step_fn,
+        "adapt": adapt,
+        "warm_chunk": warm_chunk,
+        "sample_chunk": sample_chunk,
+    }
+    if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_LIMIT:
+        _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+    _PROGRAM_CACHE[cache_key] = programs
+    return programs
 
 
 def run_mcmc(
@@ -747,6 +920,7 @@ def run_mcmc(
     steps_per_dispatch: int | None = 50,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 1,
+    warmup_depth_cap: int | None = 4,
 ) -> tuple[Any, HMCInfo]:
     """End-to-end vectorized MCMC over a pytree-valued posterior.
 
@@ -769,6 +943,12 @@ def run_mcmc(
             when the file already exists — RESUME from it instead of
             starting over. Pair with ``steps_per_dispatch``.
         checkpoint_every: Dispatches between checkpoint writes.
+        warmup_depth_cap: NUTS only — cap the tree depth at this value
+            during the initial fast warmup buffer (default 4). Early
+            warmup explores with an untuned step size far from the typical
+            set, where deep trees cost leapfrogs without improving
+            adaptation; the cap is lifted (traced, no recompile) once mass
+            adaptation starts. ``None`` disables the anneal.
 
     Returns:
         ``(samples, info)`` where ``samples`` has leading dims
@@ -778,99 +958,75 @@ def run_mcmc(
 
     from tinygp_tpu.utils.checkpoint import load_pytree, save_pytree
 
-    ravel, unravel, dim = _ravel_spec(init_params)
-    flat_log_prob = lambda z: log_prob_fn(unravel(z))
-
-    if sampler == "nuts":
-        init_fn, step_fn = nuts(flat_log_prob, max_tree_depth=max_tree_depth)
-    elif sampler == "hmc":
-        init_fn, step_fn = hmc(flat_log_prob, num_leapfrog=num_leapfrog)
-    else:
-        raise ValueError(f"unknown sampler: {sampler}")
+    treedef = jax.tree_util.tree_structure(init_params)
+    leaf_sig = tuple(
+        (getattr(l, "shape", ()), jnp.result_type(l))
+        for l in jax.tree_util.tree_leaves(init_params)
+    )
+    programs = _mcmc_programs(
+        log_prob_fn,
+        treedef,
+        leaf_sig,
+        num_chains,
+        num_warmup,
+        sampler,
+        max_tree_depth,
+        num_leapfrog,
+        target_accept,
+        warmup_depth_cap,
+    )
+    ravel = programs["ravel"]
+    unravel = programs["unravel"]
+    dim = programs["dim"]
+    adapt = programs["adapt"]
 
     key_init, key_warm, key_run, key_eps = jax.random.split(key, 4)
     z0 = ravel(init_params)
     z_chains = z0[None, :] + jitter_init * jax.random.normal(
         key_init, (num_chains, dim)
     )
-    states = jax.vmap(init_fn)(z_chains)
+    states = jax.vmap(programs["init_fn"])(z_chains)
 
     if initial_step_size is None:
         # Standard coarse search: start dual averaging within a factor of
         # two of a workable step instead of walking there one window at a
         # time.
         initial_step_size = find_initial_step_size(
-            flat_log_prob, states, key_eps
+            programs["flat_log_prob"], states, key_eps
         )
+    initial_step_size = jnp.asarray(initial_step_size, z_chains.dtype)
 
     warm_keys = jax.random.split(key_warm, num_chains)
-    adapt = window_adaptation(
-        step_fn,
-        num_warmup=num_warmup,
-        target_accept=target_accept,
-        initial_step_size=initial_step_size,
-    )
-
-    def sample_body(carry, inputs):
-        states, step_size, inv_mass = carry
-        step, _ = inputs
-        keys = jax.random.split(
-            jax.random.fold_in(key_run, step), num_chains
-        )
-        states, infos = jax.vmap(
-            lambda k, s: step_fn(k, s, step_size, inv_mass)
-        )(keys, states)
-        return (states, step_size, inv_mass), (states.z, infos)
 
     if steps_per_dispatch is None:
-        states, step_size, inv_mass, _warm_info = adapt(warm_keys, states)
-        _, (zs, infos) = jax.lax.scan(
-            sample_body,
+        states, step_size, inv_mass, _warm_info = adapt(
+            warm_keys, states, initial_step_size
+        )
+        _, (zs, infos) = programs["sample_chunk"](num_samples)(
             (states, step_size, inv_mass),
-            (jnp.arange(num_samples), jnp.zeros(num_samples)),
+            jnp.asarray(0, jnp.int32),
+            key_run,
         )
         samples = jax.vmap(jax.vmap(unravel))(zs)
         return samples, infos
 
     # --- chunked dispatch (bit-identical; bounded device programs) --------
-    chunk_fns: dict[tuple[str, int], Any] = {}
-
     def warm_chunk(carry, step0, length):
-        fn = chunk_fns.get(("warm", length))
-        if fn is None:
-
-            def go(carry, step0):
-                steps = step0 + jnp.arange(length)
-                all_keys = jax.vmap(
-                    lambda i: jax.vmap(
-                        jax.random.fold_in, in_axes=(0, None)
-                    )(warm_keys, i)
-                )(steps)
-                carry, _ = jax.lax.scan(adapt.body, carry, (steps, all_keys))
-                return carry
-
-            fn = chunk_fns[("warm", length)] = jax.jit(go)
-        return fn(carry, jnp.asarray(step0, jnp.int32))
+        return programs["warm_chunk"](length)(
+            carry, jnp.asarray(step0, jnp.int32), warm_keys
+        )
 
     def sample_chunk(carry, step0, length):
-        fn = chunk_fns.get(("sample", length))
-        if fn is None:
-
-            def go(carry, step0):
-                steps = step0 + jnp.arange(length)
-                return jax.lax.scan(
-                    sample_body, carry, (steps, jnp.zeros(length))
-                )
-
-            fn = chunk_fns[("sample", length)] = jax.jit(go)
-        return fn(carry, jnp.asarray(step0, jnp.int32))
+        return programs["sample_chunk"](length)(
+            carry, jnp.asarray(step0, jnp.int32), key_run
+        )
 
     # Host-side run state: everything needed to resume, as one pytree.
     zdtype = np.asarray(z_chains).dtype
     run_state = {
         "phase": np.zeros((), np.int32),  # 0 = warmup, 1 = sampling
         "step": np.zeros((), np.int32),
-        "warm": adapt.init(states),
+        "warm": adapt.init(states, initial_step_size),
         "states": states,
         "step_size": jnp.zeros(()),
         "inv_mass": jnp.ones(dim),

@@ -43,6 +43,8 @@ class DirectSolver(Solver):
     covariance_value: Array
     scale_tril: Array
     rel_floor: Array
+    kernel: Any
+    noise_diag: Any
     blocked: bool = static_field(default=True)
 
     def __init__(
@@ -67,6 +69,10 @@ class DirectSolver(Solver):
                 ``False`` forces XLA's native kernel everywhere.
         """
         variance_value = kernel(X) + noise.diagonal()
+        # The strip-built fused log-likelihood reconstructs the covariance
+        # from the kernel, so it must not engage when the caller supplied a
+        # (possibly different) precomputed matrix.
+        kernel_matches_cov = covariance is None
         if covariance is None:
             covariance = kernel(X, X) + noise
         if blocked:
@@ -93,6 +99,19 @@ class DirectSolver(Solver):
             covariance_value=covariance,
             scale_tril=scale_tril,
             rel_floor=rel_floor,
+            # Operands for the fully-fused log-likelihood (gram built in
+            # panel strips, never materialized). Diagonal-noise only; the
+            # eager covariance above is dead code under jit on that path.
+            kernel=(
+                kernel
+                if kernel_matches_cov and isinstance(noise, Diagonal)
+                else None
+            ),
+            noise_diag=(
+                noise.diagonal()
+                if kernel_matches_cov and isinstance(noise, Diagonal)
+                else None
+            ),
             blocked=blocked,
         )
 
@@ -128,12 +147,24 @@ class DirectSolver(Solver):
             or n < _dense._MIN_BLOCKED
         ):
             return super().log_likelihood(r)
-        quad, half_logdet = blocked_loglik_terms(
-            self.covariance_value,
-            r,
-            min_size=_dense._MIN_BLOCKED,
-            rel_floor=self.rel_floor,
-        )
+        if self.kernel is not None:
+            # Strip-built gram: kernel evaluated on lower panels only, the
+            # noise/scale/pad passes fused into the strip writes.
+            quad, half_logdet = _dense.kernel_loglik_terms(
+                self.kernel,
+                self.X,
+                self.noise_diag,
+                r,
+                variance=self.variance_value,
+                rel_floor=self.rel_floor,
+            )
+        else:
+            quad, half_logdet = blocked_loglik_terms(
+                self.covariance_value,
+                r,
+                min_size=_dense._MIN_BLOCKED,
+                rel_floor=self.rel_floor,
+            )
         return -0.5 * (quad + n * np.log(2.0 * np.pi)) - half_logdet
 
     def solve_triangular(self, y: Array, *, transpose: bool = False) -> Array:
