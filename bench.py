@@ -61,17 +61,45 @@ def maybe_enable_pallas_scan(details):
     if jax.default_backend() != "tpu":
         return
     here = os.path.dirname(os.path.abspath(__file__))
+
+    # The A/B subprocess costs minutes of tunnel time per run; its verdict
+    # only changes when the scan implementation does, so cache it keyed by
+    # a hash of the files that define the kernel and its host strategy.
+    import hashlib
+
+    h = hashlib.sha256()
+    for rel in (
+        "tinygp_tpu/solvers/quasisep/pallas_scan.py",
+        "tinygp_tpu/solvers/quasisep/scan.py",
+        "benchmarks/pallas_scan_flip.py",
+    ):
+        with open(os.path.join(here, rel), "rb") as f:
+            h.update(f.read())
+    cache_path = os.path.join(
+        here, ".jax_cache", f"pallas_gate_{h.hexdigest()[:16]}.json"
+    )
+    verdict = None
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.join(here, "benchmarks", "pallas_scan_flip.py")],
-            cwd=here,
-            timeout=240,
-            capture_output=True,
-            text=True,
-        )
-        verdict = json.loads(proc.stdout.strip().splitlines()[-1])
-    except Exception as exc:  # noqa: BLE001 - containment is the point
-        verdict = {"ok": False, "why": f"{type(exc).__name__}: {exc}"}
+        with open(cache_path) as f:
+            verdict = json.load(f)
+            verdict["cached"] = True
+    except Exception:  # noqa: BLE001 - absent/corrupt cache means re-measure
+        pass
+    if verdict is None:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(here, "benchmarks", "pallas_scan_flip.py")],
+                cwd=here,
+                timeout=240,
+                capture_output=True,
+                text=True,
+            )
+            verdict = json.loads(proc.stdout.strip().splitlines()[-1])
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            with open(cache_path, "w") as f:
+                json.dump(verdict, f)
+        except Exception as exc:  # noqa: BLE001 - containment is the point
+            verdict = {"ok": False, "why": f"{type(exc).__name__}: {exc}"}
     details["pallas_scan_gate"] = verdict
     if verdict.get("ok"):
         os.environ["TINYGP_TPU_PALLAS_SCAN"] = "1"
@@ -113,27 +141,36 @@ def device_seconds_per_eval(fn, params, *args, iters=50):
     return max((t2 - t1) / iters, 1e-9)
 
 
-def device_reachable(timeout_s: int = 120) -> bool:
-    """Probe the device in a subprocess so a dead tunnel cannot hang us.
+def hang_watchdog(timeout_s: int = 240):
+    """Arm a hard-exit fallback around the first (in-process) device touch.
 
-    The axon TPU tunnel has been observed unresponsive for 10+ hours at a
-    stretch (2026-08-17): backend init blocks forever inside
-    ``make_c_api_client``, so any in-process touch of ``jax.devices()``
-    would hang the whole benchmark run.
+    History of this guard: the axon TPU tunnel has been observed fully
+    unresponsive for 10+ hours (2026-08-17; backend init blocks forever in
+    ``make_c_api_client``), while a HEALTHY tunnel takes anywhere from 13 s
+    to >120 s to accept a fresh connection (2026-08-19). A subprocess probe
+    handled the first failure mode but, by opening a *second* connection,
+    routinely timed out against the second and misreported a live device as
+    down. Instead: touch the device in-process (one connection, generous
+    budget) with a daemon timer that — if init is still blocked after
+    ``timeout_s`` — prints the clearly-labeled stale-fallback line and
+    hard-exits, since a thread cannot interrupt a blocked C call.
     """
-    code = (
-        "import jax, jax.numpy as jnp;"
-        "x = jnp.ones((128, 128));"
-        "assert float((x @ x)[0, 0]) == 128.0"
-    )
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s,
-            capture_output=True,
+    import threading
+
+    def fire():
+        print(
+            f"bench: device init still blocked after {timeout_s}s; "
+            "emitting stale fallback",
+            file=sys.stderr,
+            flush=True,
         )
-        return proc.returncode == 0
-    except Exception:  # noqa: BLE001 - includes TimeoutExpired
-        return False
+        ok = stale_fallback()
+        os._exit(0 if ok else 2)
+
+    timer = threading.Timer(timeout_s, fire)
+    timer.daemon = True
+    timer.start()
+    return timer
 
 
 def stale_fallback() -> bool:
@@ -167,18 +204,43 @@ def stale_fallback() -> bool:
 
 
 def main():
-    if not device_reachable():
-        if stale_fallback():
-            return
-        raise SystemExit("device unreachable and no prior BENCH_DETAILS")
-
     from tinygp_tpu import GaussianProcess
     from tinygp_tpu import kernels as dense_kernels
     from tinygp_tpu.kernels import quasisep
 
+    t_start = time.perf_counter()
+
+    def note(msg):
+        # Progress to stderr so a timed-out run still shows where the time
+        # went (the tunnel's connection setup alone has been observed to
+        # take anywhere from 13 s to minutes).
+        print(f"bench[{time.perf_counter() - t_start:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     rng = np.random.default_rng(42)
-    details = {"device": str(jax.devices()[0]), "dtype": "float32"}
+    watchdog = hang_watchdog()
+    device_name = str(jax.devices()[0])  # first device touch; may block
+    watchdog.cancel()
+    details = {"device": device_name, "dtype": "float32"}
+
+    def flush_details():
+        # Incremental writes: a run killed by the driver's timeout still
+        # leaves every completed measurement on disk. MERGED into the
+        # existing file so a partial run never erases older measurements
+        # (the stale fallback depends on them).
+        merged = {}
+        try:
+            with open("BENCH_DETAILS.json") as f:
+                merged = json.load(f)
+        except Exception:  # noqa: BLE001 - absent or corrupt prior file
+            pass
+        merged.update(details)
+        with open("BENCH_DETAILS.json", "w") as f:
+            json.dump(merged, f, indent=2)
+
+    note("device up; running pallas-scan gate")
     maybe_enable_pallas_scan(details)
+    flush_details()
 
     # --- headline: quasisep Matern32 log-lik, N = 1e5, parallel scan ---
     X = jnp.asarray(np.sort(rng.uniform(0, 10, N_MAIN)), dtype=jnp.float32)
@@ -190,23 +252,28 @@ def main():
         return gp.log_probability(y)
 
     params = {"amp": jnp.float32(1.5), "scale": jnp.float32(2.5)}
+    note("measuring quasisep log-lik N=1e5")
     t_main = device_seconds_per_eval(quasisep_loglik, params, X, y, iters=100)
     details["quasisep_loglik_n1e5_s"] = t_main
     details["quasisep_loglik_n1e5_value"] = float(
         jax.jit(quasisep_loglik)(params, X, y)
     )
+    flush_details()
 
     # --- diagnostics: gradient at N=1e5 ---
     def gsum(params, X, y):
         g = jax.grad(quasisep_loglik)(params, X, y)
         return g["amp"] + g["scale"]
 
+    note("measuring quasisep grad N=1e5")
     details["quasisep_grad_n1e5_s"] = device_seconds_per_eval(
         gsum, params, X, y, iters=50
     )
+    flush_details()
 
     # --- diagnostics: N = 1e6 quasisep ---
     try:
+        note("measuring quasisep N=1e6")
         X6 = jnp.asarray(
             np.sort(rng.uniform(0, 10, 1_000_000)), dtype=jnp.float32
         )
@@ -219,9 +286,11 @@ def main():
         )
     except Exception as exc:  # noqa: BLE001 - record and continue
         details["quasisep_loglik_n1e6_s"] = f"failed: {exc}"
+    flush_details()
 
     # --- diagnostics: dense path, N = 1e4 (A100 baseline: 46 ms) ---
     try:
+        note("measuring dense N=1e4")
         Xd = jnp.asarray(np.sort(rng.uniform(0, 10, 10_000)), dtype=jnp.float32)
         yd = jnp.asarray(rng.normal(size=10_000), dtype=jnp.float32)
 
@@ -241,8 +310,8 @@ def main():
     except Exception as exc:  # noqa: BLE001
         details["dense_loglik_n1e4_s"] = f"failed: {exc}"
 
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(details, f, indent=2)
+    note("done; writing BENCH_DETAILS.json")
+    flush_details()
 
     print(
         json.dumps(

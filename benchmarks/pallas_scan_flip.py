@@ -35,38 +35,57 @@ def _loglik_fn():
     X = jnp.asarray(np.sort(rng.uniform(0, 10, N)), dtype=jnp.float32)
     y = jnp.asarray(rng.normal(size=N), dtype=jnp.float32)
 
-    def loglik(params):
+    def loglik(params, X, y):
         kernel = params["amp"] * quasisep.Matern32(scale=params["scale"])
         gp = GaussianProcess(kernel, X, diag=0.1, assume_sorted=True)
         return gp.log_probability(y)
 
     params = {"amp": jnp.float32(1.5), "scale": jnp.float32(2.5)}
-    return jax, jnp, loglik, params
+    return jax, jnp, loglik, params, X, y
 
 
-def _timed(jax, jnp, loglik, params):
-    """Value + seconds/eval with a serial value-chained loop (single length;
-    the off/on comparison shares the fixed overhead, which therefore cancels
-    in the *ratio* even without the two-length differencing bench.py uses)."""
+def _timed(jax, jnp, loglik, params, X, y):
+    """Value + seconds/eval, two-length differenced (as in bench.py).
 
-    @jax.jit
-    def run(params):
-        def body(i, carry):
-            p = jax.tree_util.tree_map(
-                lambda x: x * (1.0 + 1e-6 * jnp.tanh(carry)), params
-            )
-            return carry + 1e-6 * jnp.tanh(loglik(p))
+    The single ~25-40 ms tunnel roundtrip is larger than ``ITERS`` whole
+    evaluations of this workload, so a single-length loop is overhead-
+    dominated and blind to real speed differences; differencing a k- and a
+    2k-iteration loop cancels the fixed cost exactly.
 
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+    ``X``/``y`` are jit ARGUMENTS (not closed-over constants) to match
+    bench.py's program exactly: with the data constant-folded into the
+    trace, Mosaic assigns different layouts inside the Pallas kernel than
+    it does for the argument-fed program, and a kernel that compiles one
+    way can fail the other (seen 2026-08-19: "Broadcast in both sublanes
+    and lanes" only in the argument-fed variant)."""
 
-    value = float(jax.jit(loglik)(params))
-    float(run(params))  # compile + warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run(params))
-        best = min(best, time.perf_counter() - t0)
-    return value, best / ITERS
+    def make(n):
+        @jax.jit
+        def run(params, X, y):
+            def body(i, carry):
+                p = jax.tree_util.tree_map(
+                    lambda x: x * (1.0 + 1e-6 * jnp.tanh(carry)), params
+                )
+                return carry + 1e-6 * jnp.tanh(loglik(p, X, y))
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        return run
+
+    run1, run2 = make(ITERS), make(2 * ITERS)
+    value = float(jax.jit(loglik)(params, X, y))
+
+    def best_of(run):
+        float(run(params, X, y))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run(params, X, y))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = best_of(run1), best_of(run2)
+    return value, max((t2 - t1) / ITERS, 1e-9)
 
 
 def main() -> None:
@@ -90,16 +109,25 @@ def main() -> None:
             print(json.dumps(result))
             return
 
-        # Fresh closures per variant: the flag is read at trace time, and
-        # reusing one function object would hit the first variant's jit cache.
+        # The flag is read at TRACE time, and traces are cached: fresh
+        # closures are not enough, because the GP API's module-level jitted
+        # internals (e.g. gp._log_probability) keep their first trace — the
+        # ON variant would silently reuse the OFF variant's blocked-scan
+        # program and the A/B would compare blocked vs blocked (this
+        # happened: a "parity ok" verdict while the Pallas kernel didn't
+        # even compile). clear_caches() forces a genuine retrace per
+        # variant; the persistent compile cache still absorbs the repeat
+        # XLA compiles across runs.
         os.environ["TINYGP_TPU_PALLAS_SCAN"] = "0"
-        jax_, jnp, loglik, params = _loglik_fn()
-        v_off, t_off = _timed(jax_, jnp, loglik, params)
+        jax.clear_caches()
+        jax_, jnp, loglik, params, X, y = _loglik_fn()
+        v_off, t_off = _timed(jax_, jnp, loglik, params, X, y)
         result["t_off_s"] = t_off
 
         os.environ["TINYGP_TPU_PALLAS_SCAN"] = "1"
-        jax_, jnp, loglik, params = _loglik_fn()
-        v_on, t_on = _timed(jax_, jnp, loglik, params)
+        jax.clear_caches()
+        jax_, jnp, loglik, params, X, y = _loglik_fn()
+        v_on, t_on = _timed(jax_, jnp, loglik, params, X, y)
         result["t_on_s"] = t_on
 
         rel = abs(v_on - v_off) / max(1.0, abs(v_off))

@@ -18,12 +18,11 @@ import numpy as np
 from tinygp_tpu import GaussianProcess
 from tinygp_tpu.kernels import quasisep
 
-rng = np.random.default_rng(
 # CI knob: TINYGP_TPU_EXAMPLE_SCALE in (0, 1] shrinks the workload so the
 # full example suite can execute on the single-core CPU test host; 1 (the
 # default) is the full-size run whose printed numbers the docs quote.
 _S = float(os.environ.get("TINYGP_TPU_EXAMPLE_SCALE", "1"))
-9)
+rng = np.random.default_rng(9)
 N = max(int(2000 * _S), 200)
 t = jnp.asarray(np.sort(rng.uniform(0, 100, N)))
 y = jnp.asarray(rng.normal(size=N))

@@ -35,6 +35,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -89,7 +90,7 @@ def _sharded_affine_stacked(
 
     identity = (
         chip_scan._seye(m, As.dtype),
-        jnp.zeros((m * r, 1), Bs.dtype),
+        np.zeros((m * r, 1), Bs.dtype),
     )
     _, e = sharded_monoid_scan(
         combine, identity, (As, Bs), axis_name=axis_name
@@ -146,8 +147,8 @@ def _sharded_riccati_stacked(
 
     identity = (
         chip_scan._seye(m, ps.dtype),
-        jnp.zeros((m * m, 1), ps.dtype),
-        jnp.zeros((m * m, 1), ps.dtype),
+        np.zeros((m * m, 1), ps.dtype),
+        np.zeros((m * m, 1), ps.dtype),
     )
     _, F, _ = sharded_monoid_scan(
         combine, identity, (A0, F0, G0), axis_name=axis_name

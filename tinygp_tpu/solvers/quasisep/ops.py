@@ -183,6 +183,14 @@ def stacked_loglik_terms(
     but fused: the Cholesky emissions feed the solve without leaving the
     stacked layout.
     """
+    # Mixed-precision operands (e.g. float64 kernel parameters under x64
+    # with float32 data) promote here, where the reference's unfused route
+    # would promote through ordinary jnp arithmetic; the blocked scans
+    # require uniform dtypes.
+    dtype = jnp.result_type(d, ps, qs, as_, y)
+    d, ps, qs, as_, y = (
+        x.astype(dtype) for x in (d, ps, qs, as_, y)
+    )
     m = ps.shape[0]
     Fs = riccati_scan_stacked(d, ps, qs, as_)
 

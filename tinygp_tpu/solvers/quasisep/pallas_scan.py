@@ -50,9 +50,11 @@ _SUB = 8  # sublane rows per chunk; one vreg worth of blocks per lane column
 INTERPRET = False
 
 # Per-buffer VMEM budget (bytes). Four live copies of a chunk exist at peak
-# (double-buffered input + output), so keep each at ~3 MB against the 16 MB
-# VMEM.
-_CHUNK_BYTES = 3 * 2**20
+# (double-buffered input + output) plus the prefix-phase temporaries; the
+# 3 MB budget measured 25.7 MB of scoped VMEM against the 16 MB limit on a
+# real v5e (m=2 Riccati, block=32, lanes=256), so it sits at 1 MB now —
+# block=10 steps per chunk, ~8 MB scoped.
+_CHUNK_BYTES = 2**20
 
 
 def _is_tracer_batched(x) -> bool:
@@ -126,6 +128,23 @@ def _tree_roll(tree, shift):
     )
 
 
+def _replicate_full(x, shape):
+    """Replicate ``(1, C, 1) -> (sub, C, lanes)`` without vector.broadcast.
+
+    ``jnp.broadcast_to`` here is a trap twice over: Mosaic cannot lower a
+    both-sublanes-and-lanes ``vector.broadcast`` of a traced value, and even
+    a legal-looking broadcast gets slices pushed through it by the MLIR
+    canonicalizer inside the combine (producing the illegal
+    ``(1,1) -> (8,L)`` form). ``tpu.repeat`` along lanes plus a sublane
+    concatenate lowers unconditionally.
+    """
+    sub, _, lanes = shape
+    x = pltpu.repeat(x, lanes, axis=2)  # (1, C, lanes)
+    if sub > 1:
+        x = jnp.concatenate([x] * sub, axis=0)
+    return x
+
+
 def _scan_kernel(
     *refs,
     combine,
@@ -140,16 +159,13 @@ def _scan_kernel(
     out_refs = refs[2 * nleaf : 3 * nleaf]
     carry_refs = refs[3 * nleaf :]
 
-    # Identity elements arrive as tiny (C, 1) operands (Pallas kernels may
-    # not close over non-scalar constants).
+    # Identity elements arrive PRE-REPLICATED at the full (sub, C, lanes)
+    # working shape (Pallas kernels may not close over non-scalar
+    # constants, and any in-kernel broadcast of an identity gets slices
+    # pushed through it by the Mosaic canonicalizer inside the combine,
+    # producing the unlowerable both-sublanes-and-lanes vector.broadcast).
     idents = tuple(r[:] for r in ident_refs)
-
-    def bcast(ident, shape):
-        return jnp.broadcast_to(ident.reshape(1, -1, 1), shape)
-
-    full = tuple(
-        (_SUB, idents[i].shape[0], lanes) for i in range(nleaf)
-    )
+    full = tuple(i.shape for i in idents)
 
     # comp(earlier, later) in sequence-index order.
     comp = combine
@@ -157,7 +173,7 @@ def _scan_kernel(
     # --- 1. Block-local exclusive scan, batched over the 8*lanes blocks.
     # The exclusive states are parked in the output ref and combined with
     # the global prefix in place at the end (saves a scratch buffer).
-    carry = tuple(bcast(idents[i], full[i]) for i in range(nleaf))
+    carry = idents
     steps = range(block - 1, -1, -1) if reverse else range(block)
     for s in steps:
         elem = tuple(r[0, s] for r in in_refs)
@@ -187,7 +203,7 @@ def _scan_kernel(
     row_incl = tuple(x[..., edge] for x in incl)
 
     # Exclusive within-row prefix: shift the inclusive scan by one lane.
-    ident_full = tuple(bcast(idents[i], full[i]) for i in range(nleaf))
+    ident_full = idents
     shifted = _tree_roll(incl, lanes - 1 if reverse else 1)
     if reverse:
         excl_mask = lane_idx < lanes - 1
@@ -197,7 +213,7 @@ def _scan_kernel(
 
     # --- 2b. Sublane prefix over the 8 rows (tiny sequential scan).
     rows = []  # per-row (1, C, 1) prefixes in sublane order
-    rp = tuple(i.reshape(1, -1, 1) for i in idents)
+    rp = tuple(i[0:1, :, 0:1] for i in idents)
     order = range(_SUB - 1, -1, -1) if reverse else range(_SUB)
     acc = [None] * _SUB
     for i in order:
@@ -215,8 +231,8 @@ def _scan_kernel(
 
     @pl.when(g == 0)
     def _():
-        for cref, ident, shp in zip(carry_refs, idents, full):
-            cref[:] = bcast(ident, shp)
+        for cref, ident in zip(carry_refs, idents):
+            cref[:] = ident
 
     chunk_carry = tuple(r[:] for r in carry_refs)
     if reverse:
@@ -236,7 +252,7 @@ def _scan_kernel(
 
     # --- 5. Advance the cross-chunk carry.
     tot_b = tuple(
-        jnp.broadcast_to(t, shp) for t, shp in zip(chunk_total, full)
+        _replicate_full(t, shp) for t, shp in zip(chunk_total, full)
     )
     new_carry = (
         comp(tot_b, chunk_carry) if reverse else comp(chunk_carry, tot_b)
@@ -265,10 +281,15 @@ def pallas_monoid_scan(
     idents = treedef.flatten_up_to(identity)
     # Identity elements are structural constants (eyes/zeros); as numpy
     # arrays they inline into the kernel as literals instead of captures.
-    idents = [
-        np.broadcast_to(np.asarray(i), (l.shape[0], 1)).astype(l.dtype)
-        for i, l in zip(idents, leaves)
-    ]
+    # A traced identity (a caller that built it with jnp under jit —
+    # omnistaging stages those) can't be concretized; pass it through as a
+    # regular jnp input instead of crashing.
+    def _materialize(i, l):
+        if isinstance(i, jax.core.Tracer):
+            return jnp.broadcast_to(i, (l.shape[0], 1)).astype(l.dtype)
+        return np.broadcast_to(np.asarray(i), (l.shape[0], 1)).astype(l.dtype)
+
+    idents = [_materialize(i, l) for i, l in zip(idents, leaves)]
     n = leaves[0].shape[-1]
     ctot = sum(l.shape[0] for l in leaves)
     b, ln = _pick_tiles(ctot, n)
@@ -276,6 +297,21 @@ def pallas_monoid_scan(
         b = block
     if lanes is not None:
         ln = lanes
+
+    # The kernel consumes identities PRE-REPLICATED to the (sub, C, lanes)
+    # working shape: replicating host-side (numpy for the common concrete
+    # case, XLA for traced ones) keeps every in-kernel identity use a plain
+    # ref read — Mosaic cannot lower the both-sublanes-and-lanes
+    # vector.broadcast its canonicalizer would otherwise create by pushing
+    # the combine's slices through an in-kernel broadcast.
+    def _to_full(i):
+        if isinstance(i, np.ndarray):
+            return np.ascontiguousarray(
+                np.broadcast_to(i[None, :, :], (_SUB, i.shape[0], ln))
+            )
+        return jnp.broadcast_to(i[None, :, :], (_SUB, i.shape[0], ln))
+
+    idents_full = [_to_full(i) for i in idents]
 
     chunk = b * _SUB * ln
     nc = -(-n // chunk)
@@ -305,7 +341,7 @@ def pallas_monoid_scan(
         pl.BlockSpec((1, b, _SUB, x.shape[3], ln), index_map)
         for x in tiled
     ] + [
-        pl.BlockSpec(i.shape, lambda g: (0, 0)) for i in idents
+        pl.BlockSpec(i.shape, lambda g: (0, 0, 0)) for i in idents_full
     ]
     out_specs = [
         pl.BlockSpec((1, b, _SUB, x.shape[3], ln), index_map)
@@ -343,7 +379,7 @@ def pallas_monoid_scan(
             dimension_semantics=(pltpu.GridDimensionSemantics.ARBITRARY,),
         ),
         interpret=INTERPRET,
-    )(*tiled, *[jnp.asarray(i) for i in idents])
+    )(*tiled, *[jnp.asarray(i) for i in idents_full])
 
     def untile(x):
         c = x.shape[3]

@@ -147,8 +147,15 @@ def monoid_scan(
             lambda x: jnp.moveaxis(x[..., 0], 0, -1), excl
         )
 
-    if n <= _ASSOC_CUTOFF:
+    if n <= _ASSOC_CUTOFF and jax.default_backend() == "tpu":
         # One associative-scan level: log2(n) combines at full lane width.
+        # TPU-only: XLA:CPU's compile time on the unrolled associative-scan
+        # graph blows up superlinearly for the richer combines (observed
+        # 2m46s compiling symm_cholesky of a conditioned posterior QSM at
+        # n=250, vs seconds for the blocked strategy below, which computes
+        # the same prefixes through lax.scan phases). On CPU the depth
+        # advantage is worthless anyway — there is nothing to parallelize
+        # across.
         # lax.associative_scan keeps index order under reverse=True by
         # flip-scan-flip, which hands the *higher*-index aggregate to the
         # first argument — swap to preserve our (earlier, later) contract.
@@ -316,8 +323,14 @@ def _souter(u, v):
 
 
 def _seye(m: int, dtype) -> Array:
-    """Stacked identity with a broadcastable singleton lane axis."""
-    return jnp.eye(m, dtype=dtype).reshape(m * m, 1)
+    """Stacked identity with a broadcastable singleton lane axis.
+
+    Built with numpy so scan identities stay CONCRETE under a jit trace
+    (omnistaging would stage ``jnp.eye``): the Pallas scan kernel inlines
+    concrete identities as literals, and every jnp consumer promotes the
+    numpy array transparently.
+    """
+    return np.eye(m, dtype=dtype).reshape(m * m, 1)
 
 
 def _ssolve(M, B, m, r):
@@ -382,7 +395,7 @@ def _affine_scan_s(As, Bs, m, r, *, reverse: bool, exclusive: bool):
             _smm(A_l, B_e, m, m, r) + B_l,
         )
 
-    identity = (_seye(m, As.dtype), jnp.zeros((m * r, 1), Bs.dtype))
+    identity = (_seye(m, As.dtype), np.zeros((m * r, 1), Bs.dtype))
     excl = monoid_scan(combine, identity, (As, Bs), reverse=reverse)
     if exclusive:
         return excl[1]
@@ -589,7 +602,7 @@ def _congruence_scan_s(As, Bs, m, *, reverse: bool):
             _smm_t(_smm(A_l, B_e, m, m, m), A_l, m, m, m) + B_l,
         )
 
-    identity = (_seye(m, As.dtype), jnp.zeros((m * m, 1), Bs.dtype))
+    identity = (_seye(m, As.dtype), np.zeros((m * m, 1), Bs.dtype))
     _, e = monoid_scan(combine, identity, (As, Bs), reverse=reverse)
     return e
 
@@ -757,8 +770,8 @@ def _riccati_scan_s(d, ps, qs, as_, m):
 
     identity = (
         _seye(m, ps.dtype),
-        jnp.zeros((m * m, 1), ps.dtype),
-        jnp.zeros((m * m, 1), ps.dtype),
+        np.zeros((m * m, 1), ps.dtype),
+        np.zeros((m * m, 1), ps.dtype),
     )
     # The merge's m x m solve only lowers in Mosaic via the closed-form
     # adjugate branches; larger orders take the blocked XLA strategy.
