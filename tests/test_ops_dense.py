@@ -159,59 +159,6 @@ def test_blocked_cholesky_custom_vjp_matches_native():
     )
 
 
-def test_chol_inv_block_kernel():
-    # The fused diagonal-block kernel (not on the default path — see the
-    # negative result in docs/rooflines.md — but part of the public ops).
-    from tinygp_tpu.ops.pallas_dense import chol_inv_block
-
-    rng = np.random.default_rng(13)
-    b = 256
-    A = (rng.normal(size=(b, b)) / np.sqrt(b)).astype(np.float32)
-    K = (A @ A.T + np.eye(b, dtype=np.float32)).astype(np.float32)
-    L, Linv = chol_inv_block(jnp.asarray(K), interpret=True)
-    Lx = np.linalg.cholesky(K.astype(np.float64))
-    assert np.max(np.abs(np.asarray(L) - Lx)) / np.max(np.abs(Lx)) < 1e-5
-    assert np.max(np.abs(np.asarray(Linv) @ Lx - np.eye(b))) < 1e-4
-
-
-def test_blocked_solve_triangular_matches_native():
-    from tinygp_tpu.ops.dense import blocked_solve_triangular
-
-    rng = np.random.default_rng(21)
-    n = 1024
-    A = (rng.normal(size=(n, n)) / np.sqrt(n)).astype(np.float32)
-    K = (A @ A.T + np.eye(n, dtype=np.float32)).astype(np.float32)
-    L = jnp.linalg.cholesky(jnp.asarray(K))
-    for rhs_shape in [(n,), (n, 5)]:
-        y = jnp.asarray(rng.normal(size=rhs_shape).astype(np.float32))
-        for transpose in (False, True):
-            got = blocked_solve_triangular(
-                L, y, transpose=transpose, block=256, min_size=0
-            )
-            want = jax.scipy.linalg.solve_triangular(
-                L, y, lower=True, trans=1 if transpose else 0
-            )
-            np.testing.assert_allclose(
-                np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
-            )
-
-    # Differentiable (the conditioning graphs take grads through solves).
-    def loss(s):
-        x = blocked_solve_triangular(
-            L * s, jnp.asarray(np.ones(n, np.float32)),
-            block=256, min_size=0,
-        )
-        return jnp.sum(jnp.square(x))
-
-    g = jax.grad(loss)(jnp.float32(1.1))
-    g_ref = jax.grad(
-        lambda s: jnp.sum(jnp.square(jax.scipy.linalg.solve_triangular(
-            L * s, jnp.asarray(np.ones(n, np.float32)), lower=True
-        )))
-    )(jnp.float32(1.1))
-    np.testing.assert_allclose(float(g), float(g_ref), rtol=1e-4)
-
-
 def test_blocked_cholesky_small_fallback():
     rng = np.random.default_rng(6)
     N = 64

@@ -57,7 +57,6 @@ from __future__ import annotations
 __all__ = [
     "blocked_cholesky",
     "blocked_loglik_terms",
-    "blocked_solve_triangular",
     "cholesky_with_fallback",
     "kernel_loglik_terms",
     "split_matmul",
@@ -240,10 +239,9 @@ def _blocked_cholesky_impl(K: Array, block: int, terms: int) -> Array:
         # symmetrize_input=False: beyond the first panel, T only carries a
         # valid lower triangle (the fused SYRK skips the mirror tiles), and
         # the factorization never needs more. (A fused Pallas
-        # chol-plus-inverse for this step exists — pallas_dense.
-        # chol_inv_block — but measured ~1.3 ms SLOWER over the whole
-        # factorization than this native pair, whose launch latency it was
-        # meant to hide; the masked-reduction inner loops don't pay off.)
+        # chol-plus-inverse for this step was tried and measured ~1.3 ms
+        # SLOWER over the whole factorization than this native pair —
+        # docs/rooflines.md §1, negative results.)
         L11 = lax.linalg.cholesky(A11, symmetrize_input=False)
         if k + 1 < nb:
             L11invT = jax.scipy.linalg.solve_triangular(
@@ -679,59 +677,3 @@ def kernel_loglik_terms(
         T, rs, block, terms, rel_floor, lower_only=True
     )
     return quad, hld_scaled - jnp.sum(jnp.log(s))
-
-
-def blocked_solve_triangular(
-    L: Array,
-    y: Array,
-    *,
-    transpose: bool = False,
-    block: int = _BLOCK,
-    min_size: int = _MIN_BLOCKED,
-) -> Array:
-    """Solve ``L x = y`` (or ``L^T x = y``) against a lower factor, blocked.
-
-    XLA's native TRSM is latency-bound for the thin right-hand sides the
-    GP log-likelihood uses (2.4 ms for one (1e4,) vector on v5e — more
-    than 10% of the whole pipeline). This blocked substitution — per
-    panel, one small native solve plus one pinned GEMM against the
-    already-computed prefix — was built to beat that, and measured a
-    WASH (2.38 ms forward / 2.66 ms transposed): the native kernel's
-    internal blocking is already equivalent. Kept as a utility and a
-    recorded measurement; DirectSolver stays on the native TRSM.
-    """
-    n = L.shape[0]
-    if n < max(min_size, 2 * block) or n % block or L.dtype != jnp.float32:
-        return jax.scipy.linalg.solve_triangular(
-            L, y, lower=True, trans=1 if transpose else 0
-        )
-    vector = y.ndim == 1
-    if vector:
-        y = y[:, None]
-
-    nb = n // block
-    with jax.default_matmul_precision("highest"):
-        xs: list[Array] = [None] * nb  # type: ignore[list-item]
-        if not transpose:
-            for j in range(nb):
-                lo = j * block
-                rhs = y[lo : lo + block]
-                if j:
-                    prefix = jnp.concatenate(xs[:j], axis=0)
-                    rhs = rhs - jnp.matmul(L[lo : lo + block, :lo], prefix)
-                xs[j] = jax.scipy.linalg.solve_triangular(
-                    L[lo : lo + block, lo : lo + block], rhs, lower=True
-                )
-        else:
-            for j in reversed(range(nb)):
-                lo = j * block
-                hi = lo + block
-                rhs = y[lo:hi]
-                if j + 1 < nb:
-                    suffix = jnp.concatenate(xs[j + 1 :], axis=0)
-                    rhs = rhs - jnp.matmul(L[hi:, lo:hi].T, suffix)
-                xs[j] = jax.scipy.linalg.solve_triangular(
-                    L[lo:hi, lo:hi], rhs, lower=True, trans=1
-                )
-        x = jnp.concatenate(xs, axis=0)
-    return x[:, 0] if vector else x

@@ -28,7 +28,6 @@ __all__ = [
     "syrk_sub",
     "syrk_sub_inplace",
     "split_panel_matmul",
-    "chol_inv_block",
 ]
 
 import jax
@@ -248,151 +247,6 @@ def _dot_f32(x: Array, y: Array, *, transpose_y: bool = False) -> Array:
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-
-
-# Sub-block size for the in-kernel diagonal factorization.
-_CHOL_SUB = 128
-
-
-def _chol_unblocked(A: Array) -> Array:
-    """Unblocked lower Cholesky of an (s, s) f32 value, fori over columns.
-
-    Outer-product (right-looking) form with masked rank-1 updates; NaNs
-    propagate from non-PD pivots exactly like the native kernel. All
-    row/column extraction is spelled as masked reductions — Mosaic has no
-    ``dynamic_slice`` lowering for register values, and at s <= 128 the
-    extra VPU work is noise.
-    """
-    s = A.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-
-    def body(j, carry):
-        L, S = carry  # factor so far; running Schur complement
-        pivot = jnp.sum(jnp.where((rows == j) & (cols == j), S, 0.0))
-        inv_sqrt = jax.lax.rsqrt(pivot)
-        col = (
-            jnp.sum(jnp.where(cols == j, S, 0.0), axis=1, keepdims=True)
-            * inv_sqrt
-        )
-        col = jnp.where(rows[:, :1] >= j, col, 0.0)
-        L = jnp.where(cols == j, col, L)
-        S = S - col * col.reshape(1, s)
-        return L, S
-
-    L, _ = jax.lax.fori_loop(0, s, body, (jnp.zeros_like(A), A))
-    return L
-
-
-def _tri_inv_unblocked(L: Array) -> Array:
-    """Inverse of an (s, s) lower-triangular f32 value, fori over rows.
-
-    Row j of the inverse is ``(e_j - L[j, :j] @ X[:j]) / L[j, j]``; the
-    strict-lower mask makes the prefix static-shaped, and masked
-    reductions stand in for row extraction (no Mosaic ``dynamic_slice``).
-    """
-    s = L.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-    eye = jnp.eye(s, dtype=L.dtype)
-
-    def body(j, X):
-        lrow = jnp.sum(jnp.where(rows == j, L, 0.0), axis=0, keepdims=True)
-        pivot = jnp.sum(jnp.where((rows == j) & (cols == j), L, 0.0))
-        masked = jnp.where(cols[:1] < j, lrow, 0.0)
-        erow = jnp.sum(jnp.where(rows == j, eye, 0.0), axis=0, keepdims=True)
-        xrow = (erow - _dot_f32(masked, X)) / pivot
-        return jnp.where(rows == j, xrow, X)
-
-    return jax.lax.fori_loop(0, s, body, jnp.zeros_like(L))
-
-
-def _make_chol_inv_kernel(b: int):
-    s = _CHOL_SUB if b % _CHOL_SUB == 0 and b > _CHOL_SUB else b
-    nb = b // s
-
-    def kernel(a_ref, l_ref, linv_ref):
-        # Block Cholesky of one (b, b) tile entirely in VMEM: left-looking
-        # panels with accurate-f32 dots, unblocked factorization of the
-        # (s, s) diagonal sub-blocks, and the triangular inverse assembled
-        # from the same pieces. The Python loops unroll (nb is small).
-        L = [[None] * nb for _ in range(nb)]
-        V = [[None] * nb for _ in range(nb)]  # inverse blocks
-
-        def blk(i, j):
-            return a_ref[i * s : (i + 1) * s, j * s : (j + 1) * s]
-
-        for j in range(nb):
-            Ajj = blk(j, j)
-            for k in range(j):
-                Ajj = Ajj - _dot_f32(L[j][k], L[j][k], transpose_y=True)
-            L[j][j] = _chol_unblocked(Ajj)
-            V[j][j] = _tri_inv_unblocked(L[j][j])
-            for i in range(j + 1, nb):
-                Aij = blk(i, j)
-                for k in range(j):
-                    Aij = Aij - _dot_f32(L[i][k], L[j][k], transpose_y=True)
-                L[i][j] = _dot_f32(Aij, V[j][j].T)
-        # Inverse off-diagonals: V[i][j] = -V[i][i] (sum_k L[i][k] V[k][j]).
-        for j in range(nb):
-            for i in range(j + 1, nb):
-                acc = _dot_f32(L[i][j], V[j][j])
-                for k in range(j + 1, i):
-                    acc = acc + _dot_f32(L[i][k], V[k][j])
-                V[i][j] = -_dot_f32(V[i][i], acc)
-
-        zero = jnp.zeros((s, s), jnp.float32)
-        for i in range(nb):
-            for j in range(nb):
-                l_ref[i * s : (i + 1) * s, j * s : (j + 1) * s] = (
-                    L[i][j] if j <= i else zero
-                )
-                linv_ref[i * s : (i + 1) * s, j * s : (j + 1) * s] = (
-                    V[i][j] if j <= i else zero
-                )
-
-    return kernel
-
-
-def chol_inv_block(
-    A: Array,
-    *,
-    at: tuple[int, int] | None = None,
-    size: int | None = None,
-    interpret: bool | None = None,
-) -> tuple[Array, Array]:
-    """Cholesky factor AND its inverse for one diagonal block, fused.
-
-    Reads the ``(size, size)`` block of ``A`` at ``at`` (default: all of
-    ``A``) and returns ``(L, inv(L))`` — the two per-panel quantities the
-    blocked factorization consumes — in one kernel launch with no HBM
-    round-trips between the steps. Replaces a native Cholesky + TRSM pair
-    whose launch latency dominates the factorization's serial chain.
-    """
-    assert A.dtype == jnp.float32, "chol_inv_block is f32-only"
-    if at is None:
-        at = (0, 0)
-        size = A.shape[0]
-    assert size is not None
-    r0, c0 = at
-    assert r0 % size == 0 and c0 % size == 0
-    if interpret is None:
-        interpret = not _on_tpu()
-    rt, ct = r0 // size, c0 // size
-    return pl.pallas_call(
-        _make_chol_inv_kernel(size),
-        grid=(1,),
-        in_specs=[pl.BlockSpec((size, size), lambda i: (rt, ct))],
-        out_specs=(
-            pl.BlockSpec((size, size), lambda i: (0, 0)),
-            pl.BlockSpec((size, size), lambda i: (0, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((size, size), jnp.float32),
-            jax.ShapeDtypeStruct((size, size), jnp.float32),
-        ),
-        interpret=interpret,
-    )(A)
 
 
 def _make_panel_kernel(terms: int):

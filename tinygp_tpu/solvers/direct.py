@@ -168,9 +168,9 @@ class DirectSolver(Solver):
         return -0.5 * (quad + n * np.log(2.0 * np.pi)) - half_logdet
 
     def solve_triangular(self, y: Array, *, transpose: bool = False) -> Array:
-        # Native TRSM: a blocked substitution (ops.dense.
-        # blocked_solve_triangular) measures within noise of it on v5e
-        # (2.38 vs 2.35 ms at N=1e4, 1 RHS), so the simpler kernel stays.
+        # Native TRSM: a blocked substitution was tried and measures within
+        # noise of it on v5e (2.38 vs 2.35 ms at N=1e4, 1 RHS), so the
+        # native kernel stays (docs/rooflines.md §1, negative results).
         return linalg.solve_triangular(
             self.scale_tril, y, lower=True, trans=1 if transpose else 0
         )
