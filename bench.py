@@ -113,8 +113,15 @@ def maybe_enable_pallas_scan(details):
         except Exception:  # noqa: BLE001 - cache write is best-effort
             pass
     details["pallas_scan_gate"] = verdict
+    # The single-pass scan defaults ON (supports() reads the flag's
+    # default as "1"); the gate's job is now to actively DISABLE it when
+    # the A/B reports a regression or parity failure on this backend. A
+    # budget/timeout skip leaves the validated default in place.
     if verdict.get("ok"):
         os.environ["TINYGP_TPU_PALLAS_SCAN"] = "1"
+    elif verdict.get("t_on_s") is not None:
+        # The A/B genuinely ran and the kernel lost (or broke parity).
+        os.environ["TINYGP_TPU_PALLAS_SCAN"] = "0"
 
 
 def device_seconds_per_eval(fn, params, *args, iters=50):

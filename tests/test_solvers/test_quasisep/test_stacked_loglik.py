@@ -26,6 +26,13 @@ KERNELS = {
     "celerite": lambda: quasisep.Celerite(a=1.1, b=0.8, c=0.9, d=0.1),
     "product": lambda: quasisep.Matern32(scale=1.5)
     * quasisep.Cosine(scale=2.5),
+    "sum": lambda: quasisep.Matern32(scale=1.0)
+    + quasisep.SHO(omega=1.5, quality=2.0),
+    "scaled_sum": lambda: 1.3
+    * (
+        quasisep.Celerite(a=1.1, b=0.8, c=0.9, d=0.1)
+        + quasisep.Celerite(a=0.7, b=0.1, c=1.4, d=2.3)
+    ),
 }
 
 
@@ -53,13 +60,18 @@ def test_stacked_ssm_matches_qsm(data, name):
     assert_allclose(as_.reshape(m, m, -1), jnp.moveaxis(a, 0, -1))
 
 
-def test_sum_kernel_declines_stacked(data):
-    X, _ = data
-    kernel = quasisep.Matern32(scale=1.0) + quasisep.SHO(
-        omega=1.5, quality=2.0
+def test_sum_kernel_uses_stacked(data):
+    """Multi-term models run the fused path end to end (solver dispatch)."""
+    X, y = data
+    kernel = 1.3 * (
+        quasisep.Matern32(scale=1.0)
+        + quasisep.SHO(omega=1.5, quality=2.0)
     )
-    with pytest.raises(NotImplementedError):
-        kernel.to_stacked_ssm(X)
+    gp = GaussianProcess(kernel, X, diag=0.1, assume_sorted=True)
+    assert gp.solver.ssm is not None
+    alpha = gp.solver.solve_triangular(y - gp.loc)
+    manual = -0.5 * jnp.sum(alpha**2) - gp.solver.normalization()
+    assert_allclose(jax.jit(gp.log_probability)(y), manual)
 
 
 def test_fused_terms_match_factor_then_whiten(data):

@@ -395,6 +395,42 @@ class Sum(_Pair):
     def transition_matrix(self, X1: Array, X2: Array) -> Array:
         return self._combine(*self._both("transition_matrix", X1, X2))
 
+    def to_stacked_ssm(
+        self, X: Array, *, X_prev: Array | None = None
+    ) -> tuple[Array, Array, Array, Array]:
+        """Stacked SSM of a sum, composed from the terms' stacked SSMs.
+
+        The sum's state concatenates block-diagonally, so the stacked
+        operands compose without ever materializing row-major arrays:
+        generators concatenate (``p = [p1, p2]``, ``q = [q1, q2]``), the
+        diagonal adds, and the ``(m*m, N)`` stacked transitions interleave
+        each term's rows with zero rows for the off-diagonal blocks. This
+        keeps multi-term celerite models — the reference's flagship use
+        case (``/root/reference/src/tinygp/kernels/quasisep.py:241-295``)
+        — on the fused factor-and-whiten path on-chip and in the
+        sequence-parallel sharded scans.
+        """
+        d1, ps1, qs1, as1 = self.kernel1.to_stacked_ssm(X, X_prev=X_prev)
+        d2, ps2, qs2, as2 = self.kernel2.to_stacked_ssm(X, X_prev=X_prev)
+        m1, m2 = ps1.shape[0], ps2.shape[0]
+        n = d1.shape[-1]
+        dtype = jnp.result_type(as1, as2)
+        z1 = jnp.zeros((m2, n), dtype)
+        z2 = jnp.zeros((m1, n), dtype)
+        rows = []
+        for i in range(m1):
+            rows.append(as1[i * m1 : (i + 1) * m1].astype(dtype))
+            rows.append(z1)
+        for i in range(m2):
+            rows.append(z2)
+            rows.append(as2[i * m2 : (i + 1) * m2].astype(dtype))
+        return (
+            d1 + d2,
+            jnp.concatenate([ps1, ps2], axis=0),
+            jnp.concatenate([qs1, qs2], axis=0),
+            jnp.concatenate(rows, axis=0),
+        )
+
 
 def _kron(m1: Array, m2: Array) -> Array:
     """Kronecker combination for products of state-space models."""
@@ -431,6 +467,42 @@ class Scale(Wrapper):
 
     def stationary_covariance(self) -> Array:
         return self.scale * self.kernel.stationary_covariance()
+
+    def to_stacked_ssm(
+        self, X: Array, *, X_prev: Array | None = None
+    ) -> tuple[Array, Array, Array, Array]:
+        """Keep ``amp * (k1 + k2)`` — the canonical multi-term model — on
+        the fused stacked path.
+
+        The base implementation (which routes through this Wrapper's
+        coordinate-mapping observation model) handles every dense-Pinf
+        case; for lazily block-diagonal operands (``Scale(Sum)``) scaling
+        is pushed into the wrapped kernel's stacked SSM instead: scaling
+        Pinf scales ``q = h Pinf`` (and hence ``d = q . h``) while ``p``
+        and the transitions are Pinf-free. That delegation bypasses the
+        Wrapper's ``coord_to_sortable`` pre-mapping, so it is only taken
+        when the wrapped tree's coordinate maps are all the identity.
+        """
+        try:
+            return super().to_stacked_ssm(X, X_prev=X_prev)
+        except NotImplementedError:
+            if not _identity_coords(self.kernel):
+                raise
+            d, ps, qs, as_ = self.kernel.to_stacked_ssm(X, X_prev=X_prev)
+            return self.scale * d, ps, self.scale * qs, as_
+
+
+def _identity_coords(kernel: Quasisep) -> bool:
+    """Whether a kernel tree's ``coord_to_sortable`` maps are all identity."""
+    if isinstance(kernel, _Pair):
+        return _identity_coords(kernel.kernel1) and _identity_coords(
+            kernel.kernel2
+        )
+    if isinstance(kernel, Wrapper):
+        if type(kernel).coord_to_sortable is not Wrapper.coord_to_sortable:
+            return False
+        return _identity_coords(kernel.kernel)
+    return type(kernel).coord_to_sortable is Quasisep.coord_to_sortable
 
 
 class Celerite(Quasisep):

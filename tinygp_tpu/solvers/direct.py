@@ -68,13 +68,21 @@ class DirectSolver(Solver):
                 f32 matrices (with automatic native fallback on breakdown).
                 ``False`` forces XLA's native kernel everywhere.
         """
-        variance_value = kernel(X) + noise.diagonal()
         # The strip-built fused log-likelihood reconstructs the covariance
         # from the kernel, so it must not engage when the caller supplied a
         # (possibly different) precomputed matrix.
         kernel_matches_cov = covariance is None
         if covariance is None:
+            variance_value = kernel(X) + noise.diagonal()
             covariance = kernel(X, X) + noise
+        else:
+            # A supplied covariance is by contract kernel(X, X) + noise, so
+            # its diagonal IS the variance. Reading it here matters a lot
+            # for conditioned processes: their kernel's evaluate_diag runs
+            # one O(N_train^2) triangular solve per point, so a vmapped
+            # diag at M test points would cost O(M N^2) — at N=M=1e4 that
+            # dwarfs the conditioning itself.
+            variance_value = jnp.diagonal(covariance)
         if blocked:
             # The noise floor bounds lambda_min of the unit-scaled
             # covariance from below — but only for DIAGONAL noise (kernel
@@ -168,9 +176,18 @@ class DirectSolver(Solver):
         return -0.5 * (quad + n * np.log(2.0 * np.pi)) - half_logdet
 
     def solve_triangular(self, y: Array, *, transpose: bool = False) -> Array:
-        # Native TRSM: a blocked substitution was tried and measures within
-        # noise of it on v5e (2.38 vs 2.35 ms at N=1e4, 1 RHS), so the
-        # native kernel stays (docs/rooflines.md §1, negative results).
+        # Thin right-hand sides: native TRSM (a blocked substitution was
+        # tried and measures within noise of it on v5e — 2.38 vs 2.35 ms
+        # at N=1e4, 1 RHS — docs/rooflines.md §1, negative results). WIDE
+        # right-hand sides (conditioning at many test points): the blocked
+        # substitution with split-bf16 GEMM updates, where the O(N^2 M)
+        # flop bulk moves to the fast MXU path.
+        if self.blocked:
+            from tinygp_tpu.ops.dense import solve_triangular_many
+
+            return solve_triangular_many(
+                self.scale_tril, y, transpose=transpose
+            )
         return linalg.solve_triangular(
             self.scale_tril, y, lower=True, trans=1 if transpose else 0
         )
@@ -183,7 +200,16 @@ class DirectSolver(Solver):
     def condition(
         self, kernel: kernels.Kernel, X_test: Array | None, noise: Noise
     ) -> Any:
-        """Dense conditional covariance ``Kss - A.T @ A``, ``A = L^{-1} Ks``."""
+        """Dense conditional covariance ``Kss - A.T @ A``, ``A = L^{-1} Ks``.
+
+        Matches ``/root/reference/src/tinygp/solvers/direct.py:75-95``.
+        For large f32 systems both O(N^2 M) stages run on the fast MXU
+        path: the cross-covariance whitening through the blocked
+        split-GEMM substitution (``solve_triangular`` above) and the
+        ``A^T A`` downdate through the 4-pass split SYRK — the same
+        f32-grade (~6e-8) arithmetic as the factorization's trailing
+        updates.
+        """
         if X_test is None:
             Ks = kernel(self.X, self.X)
             Kss = Ks + noise
@@ -191,4 +217,13 @@ class DirectSolver(Solver):
             Ks = kernel(self.X, X_test)
             Kss = kernel(X_test, X_test) + noise
         A = self.solve_triangular(Ks)
+        if (
+            self.blocked
+            and A.dtype == jnp.float32
+            and A.ndim == 2
+            and A.shape[0] >= 4096
+        ):
+            from tinygp_tpu.ops.dense import split_syrk
+
+            return Kss - split_syrk(A.T)
         return Kss - jnp.matmul(A.T, A, precision="highest")

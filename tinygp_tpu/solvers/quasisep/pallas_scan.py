@@ -14,8 +14,7 @@ executed *sequentially* on a core:
 
 - The sequence is tiled as ``(chunk, step, sub, lane)`` with
   ``n = ((g·8 + i)·L + l)·B + s``: grid axis ``g`` walks chunks in order,
-  each chunk holding ``8·L`` blocks of ``B`` consecutive elements laid out
-  so every per-component vector op runs on full ``(8, L)`` vregs.
+  each chunk holding ``8·L`` blocks of ``B`` consecutive elements.
 - Per chunk, the kernel runs the ``B``-step block-local scan (batched over
   all ``8·L`` blocks), an in-register Kogge–Stone prefix over the lane axis,
   a tiny 8-step sublane prefix, and folds in a running cross-chunk carry
@@ -24,10 +23,17 @@ executed *sequentially* on a core:
 - DMA of chunk ``g+1`` overlaps compute of chunk ``g`` (the grid axis is
   declared ``ARBITRARY``, preserving order).
 
-The combine monoids are the stacked-layout closures from ``scan.py``
-(components on axis -2, lanes last), which broadcast over the leading
-``(step, sub)`` axes unchanged, so this kernel serves the affine, congruence,
-and Riccati recurrences alike. Reference math being accelerated:
+Layout is the heart of the design. The round-3 version of this kernel kept
+the stacked ``(sub, C, lanes)`` leaves of the XLA strategy and sliced the
+component axis (at -2) inside every combine — each such op ran on an
+``(8, 1, lanes)`` slice at 1/8 sublane utilization, and the kernel measured
+1.8x SLOWER than the XLA strategy. This version splits every monoid
+component into its OWN ``(sub, lanes)`` buffer: every op in the combine is
+then a full-vreg elementwise op (the component-list combines from
+``scan.py``), identities become scalar literals, and the prefix phases run
+at full VPU width. Outputs the caller does not consume (``needed``) skip
+HBM writeback entirely — the Riccati flow returns only F, a third of the
+state. Reference math being accelerated:
 ``/root/reference/src/tinygp/solvers/quasisep/ops.py:296-512``.
 """
 
@@ -49,12 +55,16 @@ _SUB = 8  # sublane rows per chunk; one vreg worth of blocks per lane column
 # Interpret mode for CPU-side unit tests of the kernel logic.
 INTERPRET = False
 
-# Per-buffer VMEM budget (bytes). Four live copies of a chunk exist at peak
-# (double-buffered input + output) plus the prefix-phase temporaries; the
-# 3 MB budget measured 25.7 MB of scoped VMEM against the 16 MB limit on a
-# real v5e (m=2 Riccati, block=32, lanes=256), so it sits at 1 MB now —
-# block=10 steps per chunk, ~8 MB scoped.
-_CHUNK_BYTES = 2**20
+# Scoped-VMEM model: per component, the live copies at peak are the
+# double-buffered input (2), the parked local states (1), and the output
+# block or its scratch stand-in (~1); prefix-phase temporaries live in
+# registers. The 2026-08-20 TPU sweep (benchmarks/scan_iso.py, m=2
+# Riccati, N=1e5): fused log-lik 457 us (XLA blocked) -> 279/133/114/100 us
+# at 16x256/32x256/48x256/64x128, with a cliff back to 227 us at 96x128
+# (scoped VMEM past the limit -> spills). The model below reproduces the
+# 64x128 winner for the Riccati's ctot=12 and caps there.
+_VMEM_TARGET = 12 * 2**20
+_COPIES = 4
 
 
 def _is_tracer_batched(x) -> bool:
@@ -69,161 +79,228 @@ def _is_tracer_batched(x) -> bool:
     return isinstance(x, batching.BatchTracer)
 
 
-def supports(elems, *, combine_ok: bool = True) -> bool:
+def supports(elems, identity=None, *, combine_ok: bool = True) -> bool:
     """Whether the Pallas strategy can run for this operand tree.
 
-    Requires: TPU backend (or interpret mode), unbatched 2-D stacked leaves
-    (the kernel's grid-carry logic does not survive ``vmap``'s prepended
-    batch grid axis), float32 data, and a combine the Mosaic compiler can
-    lower (``combine_ok`` is the caller's word — e.g. the Riccati merge
-    needs the closed-form m <= 3 solve; its LU fallback cannot lower).
+    Requires: TPU backend (or interpret mode), a FLAT TUPLE of unbatched
+    2-D stacked float32 leaves (the kernel's grid-carry logic does not
+    survive ``vmap``'s prepended batch grid axis), concrete (numpy)
+    identity leaves (they inline as scalar literals per component), and a
+    combine the Mosaic compiler can lower (``combine_ok`` is the caller's
+    word — e.g. the Riccati merge needs the closed-form m <= 3 solve; its
+    LU fallback cannot lower).
     """
     if not combine_ok:
         return False
-    if os.environ.get("TINYGP_TPU_PALLAS_SCAN", "0") != "1":
-        # Off by default until per-backend validation; flip with
-        # TINYGP_TPU_PALLAS_SCAN=1 (bench.py does, after the TPU parity
-        # check in benchmarks/pallas_scan_check.py).
+    if os.environ.get("TINYGP_TPU_PALLAS_SCAN", "1") != "1":
+        # ON by default since the 2026-08-20 on-device validation (value
+        # parity + 4.6x on the fused log-lik, benchmarks/scan_iso.py);
+        # kill with TINYGP_TPU_PALLAS_SCAN=0 (bench.py does, if its
+        # independent A/B gate benchmarks/pallas_scan_flip.py ever
+        # reports a regression).
         return False
     if not (INTERPRET or jax.default_backend() == "tpu"):
         return False
-    leaves = jax.tree_util.tree_leaves(elems)
-    for leaf in leaves:
+    if not (isinstance(elems, tuple) and all(
+        not isinstance(e, (tuple, list, dict)) for e in elems
+    )):
+        return False
+    for leaf in elems:
         if _is_tracer_batched(leaf):
             return False
         if getattr(leaf, "ndim", None) != 2:
             return False
         if leaf.dtype != jnp.float32:
             return False
+    if identity is not None:
+        for ident in jax.tree_util.tree_leaves(identity):
+            if isinstance(ident, jax.core.Tracer):
+                return False
     return True
 
 
 def _pick_tiles(ctot: int, n: int) -> tuple[int, int]:
-    """Choose (block B, lanes L) so a chunk of all leaves fits the budget.
+    """Choose (block B, lanes L) so the scoped-VMEM model fits the target.
 
     Bigger B amortizes the per-chunk prefix logic over more sequential
-    steps; bigger L widens each step. Both multiply the chunk footprint
-    ``B * 8 * ctot * L * 4`` bytes.
+    steps; bigger L widens each step. Peak VMEM ~ ``_COPIES`` chunk-sized
+    copies of all components: ``_COPIES * B * 8 * L * 4 * ctot``.
     """
-    lanes = 256
-    budget = _CHUNK_BYTES // (_SUB * ctot * 4)
+    lanes = 128
+    budget = _VMEM_TARGET // (_COPIES * _SUB * ctot * 4)
     block = max(8, min(64, budget // lanes))
     # Small problems: shrink the chunk so there are at least a few blocks.
-    while block * _SUB * lanes > max(n, 1) and lanes > 128:
-        lanes //= 2
     while block * _SUB * lanes > max(n, 1) and block > 8:
         block //= 2
     return block, lanes
 
 
-def _tree_where(mask, a, b):
-    return jax.tree_util.tree_map(
-        lambda x, y: jnp.where(mask, x, y), a, b
-    )
-
-
-def _tree_roll(tree, shift):
-    return jax.tree_util.tree_map(
-        lambda x: pltpu.roll(x, shift, axis=x.ndim - 1), tree
-    )
-
-
-def _replicate_full(x, shape):
-    """Replicate ``(1, C, 1) -> (sub, C, lanes)`` without vector.broadcast.
-
-    ``jnp.broadcast_to`` here is a trap twice over: Mosaic cannot lower a
-    both-sublanes-and-lanes ``vector.broadcast`` of a traced value, and even
-    a legal-looking broadcast gets slices pushed through it by the MLIR
-    canonicalizer inside the combine (producing the illegal
-    ``(1,1) -> (8,L)`` form). ``tpu.repeat`` along lanes plus a sublane
-    concatenate lowers unconditionally.
-    """
-    sub, _, lanes = shape
-    x = pltpu.repeat(x, lanes, axis=2)  # (1, C, lanes)
-    if sub > 1:
-        x = jnp.concatenate([x] * sub, axis=0)
-    return x
+def _tree_map(fn, *trees):
+    """Map over the (leaves, components) nested-list state structure."""
+    return [
+        [fn(*comps) for comps in zip(*leaves)] for leaves in zip(*trees)
+    ]
 
 
 def _scan_kernel(
     *refs,
     combine,
-    nleaf: int,
+    counts: tuple[int, ...],
+    idents: tuple[tuple[float, ...], ...],
+    park_kinds: tuple[str, ...],
     block: int,
     lanes: int,
     reverse: bool,
 ):
-    """One grid step: scan one chunk, folding in the cross-chunk carry."""
-    in_refs = refs[:nleaf]
-    ident_refs = refs[nleaf : 2 * nleaf]
-    out_refs = refs[2 * nleaf : 3 * nleaf]
-    carry_refs = refs[3 * nleaf :]
+    """One grid step: scan one chunk, folding in the cross-chunk carry.
 
-    # Identity elements arrive PRE-REPLICATED at the full (sub, C, lanes)
-    # working shape (Pallas kernels may not close over non-scalar
-    # constants, and any in-kernel broadcast of an identity gets slices
-    # pushed through it by the Mosaic canonicalizer inside the combine,
-    # producing the unlowerable both-sublanes-and-lanes vector.broadcast).
-    idents = tuple(r[:] for r in ident_refs)
-    full = tuple(i.shape for i in idents)
+    ``refs`` order: all component inputs (flat, leaf-major), then outputs
+    (only components of ``needed`` leaves), then parked-state scratch (only
+    components of leaves NOT needed), then per-component carry scratch.
+    ``park_kinds[i]`` says where flat component ``i`` parks its block-local
+    states: ``"out"`` (its output ref, block ``(1, B, sub, lanes)``) or
+    ``"scr"`` (VMEM scratch ``(B, sub, lanes)``).
+    """
+    ctot = sum(counts)
+    n_out = sum(1 for k in park_kinds if k == "out")
+    in_refs = refs[:ctot]
+    out_refs = refs[ctot : ctot + n_out]
+    scr_refs = refs[ctot + n_out : 2 * ctot]
+    carry_refs = refs[2 * ctot :]
 
-    # comp(earlier, later) in sequence-index order.
+    # Flat component index -> its parking ref + indexing convention.
+    park = []
+    oi = si = 0
+    for kind in park_kinds:
+        if kind == "out":
+            park.append(("out", out_refs[oi]))
+            oi += 1
+        else:
+            park.append(("scr", scr_refs[si]))
+            si += 1
+
+    def park_write(i, s, val):
+        kind, ref = park[i]
+        if kind == "out":
+            ref[0, s] = val
+        else:
+            ref[s] = val
+
+    def park_read_all(i):
+        kind, ref = park[i]
+        return ref[0] if kind == "out" else ref[:]
+
+    def group(flat):
+        """Flat component list -> nested [leaf][component] structure."""
+        out, pos = [], 0
+        for c in counts:
+            out.append(list(flat[pos : pos + c]))
+            pos += c
+        return out
+
+    flat_idents = [i for leaf in idents for i in leaf]
     comp = combine
 
+    def ident_state(shape):
+        return group(
+            [jnp.full(shape, i, dtype=jnp.float32) for i in flat_idents]
+        )
+
+    def flatten(state):
+        return [c for leaf in state for c in leaf]
+
     # --- 1. Block-local exclusive scan, batched over the 8*lanes blocks.
-    # The exclusive states are parked in the output ref and combined with
-    # the global prefix in place at the end (saves a scratch buffer).
-    carry = idents
+    # The exclusive states are parked (output ref or scratch) and combined
+    # with the global prefix in place at the end.
+    carry = ident_state((_SUB, lanes))
     steps = range(block - 1, -1, -1) if reverse else range(block)
     for s in steps:
-        elem = tuple(r[0, s] for r in in_refs)
-        for o, c in zip(out_refs, carry):
-            o[0, s] = c
+        elem = group([r[0, s] for r in in_refs])
+        for i, c in enumerate(flatten(carry)):
+            park_write(i, s, c)
         carry = comp(elem, carry) if reverse else comp(carry, elem)
     totals = carry
 
     # --- 2a. Kogge-Stone inclusive prefix over the lane axis.
-    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1, lanes), 2)
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (_SUB, lanes), 1)
     incl = totals
     k = 1
     while k < lanes:
         # Positive circular shifts only; wrapped values are masked off.
-        shifted = _tree_roll(incl, k if not reverse else lanes - k)
+        shift = k if not reverse else lanes - k
+        shifted = _tree_map(
+            lambda x: pltpu.roll(x, shift, axis=1), incl
+        )
         if reverse:
             merged = comp(incl, shifted)
             mask = lane_idx < lanes - k
         else:
             merged = comp(shifted, incl)
             mask = lane_idx >= k
-        incl = _tree_where(mask, merged, incl)
+        incl = _tree_map(
+            lambda mg, ic: jnp.where(mask, mg, ic), merged, incl
+        )
         k *= 2
 
-    # Row-inclusive totals: the full composition of each sublane row.
-    edge = slice(0, 1) if reverse else slice(lanes - 1, lanes)
-    row_incl = tuple(x[..., edge] for x in incl)
+    # Row-inclusive totals (the full composition of each sublane row),
+    # rotated so the edge column sits at lane 0 (offset-0 slices are the
+    # only ones Mosaic relayouts reliably), then lane-replicated.
+    def _edge0(x, axis):
+        # Rotate the edge (lane lanes-1 / sublane 7 forward; 0 reverse) to
+        # position 0, where the slice has offset 0.
+        return pltpu.roll(x, 1, axis=axis) if not reverse else x
+
+    row_tot = _tree_map(
+        lambda x: pltpu.repeat(_edge0(x, 1)[:, 0:1], lanes, axis=1),
+        incl,
+    )
 
     # Exclusive within-row prefix: shift the inclusive scan by one lane.
-    ident_full = idents
-    shifted = _tree_roll(incl, lanes - 1 if reverse else 1)
-    if reverse:
-        excl_mask = lane_idx < lanes - 1
-    else:
-        excl_mask = lane_idx >= 1
-    lane_excl = _tree_where(excl_mask, shifted, ident_full)
+    shift1 = lanes - 1 if reverse else 1
+    shifted = _tree_map(lambda x: pltpu.roll(x, shift1, axis=1), incl)
+    excl_mask = (
+        lane_idx < lanes - 1 if reverse else lane_idx >= 1
+    )
+    lane_excl = _tree_map(
+        lambda sh, idf: jnp.where(excl_mask, sh, idf),
+        shifted,
+        ident_state((_SUB, lanes)),
+    )
 
-    # --- 2b. Sublane prefix over the 8 rows (tiny sequential scan).
-    rows = []  # per-row (1, C, 1) prefixes in sublane order
-    rp = tuple(i[0:1, :, 0:1] for i in idents)
-    order = range(_SUB - 1, -1, -1) if reverse else range(_SUB)
-    acc = [None] * _SUB
-    for i in order:
-        acc[i] = rp
-        r_i = tuple(x[i : i + 1] for x in row_incl)
-        rp = comp(r_i, rp) if reverse else comp(rp, r_i)
-    chunk_total = rp  # composition of the whole chunk, (1, C, 1) leaves
-    row_pref = tuple(
-        jnp.concatenate([acc[i][j] for i in range(_SUB)], axis=0)
-        for j in range(nleaf)
+    # --- 2b. Kogge-Stone prefix over the 8 sublane rows, on full tiles.
+    # 3 full-width combines instead of an 8-step scan over (1, 1) slices
+    # (whose offset-carrying concatenate Mosaic cannot lower).
+    sub_idx = jax.lax.broadcasted_iota(jnp.int32, (_SUB, lanes), 0)
+    incl_r = row_tot
+    k = 1
+    while k < _SUB:
+        shift = k if not reverse else _SUB - k
+        shifted = _tree_map(
+            lambda x: pltpu.roll(x, shift, axis=0), incl_r
+        )
+        if reverse:
+            merged = comp(incl_r, shifted)
+            mask = sub_idx < _SUB - k
+        else:
+            merged = comp(shifted, incl_r)
+            mask = sub_idx >= k
+        incl_r = _tree_map(
+            lambda mg, ic: jnp.where(mask, mg, ic), merged, incl_r
+        )
+        k *= 2
+
+    # Chunk total: the edge row's full composition, rotated to sublane 0.
+    chunk_total = _tree_map(lambda x: _edge0(x, 0)[0:1], incl_r)
+
+    # Exclusive row prefix: shift the row-inclusive scan by one sublane.
+    shifted = _tree_map(
+        lambda x: pltpu.roll(x, _SUB - 1 if reverse else 1, axis=0), incl_r
+    )
+    row_mask = sub_idx < _SUB - 1 if reverse else sub_idx >= 1
+    row_pref = _tree_map(
+        lambda sh, idf: jnp.where(row_mask, sh, idf),
+        shifted,
+        ident_state((_SUB, lanes)),
     )
 
     # --- 2c/3. Global prefix for every block: carry ∘ rows ∘ lanes.
@@ -231,10 +308,10 @@ def _scan_kernel(
 
     @pl.when(g == 0)
     def _():
-        for cref, ident in zip(carry_refs, idents):
-            cref[:] = ident
+        for cref, ident in zip(carry_refs, flat_idents):
+            cref[:] = jnp.full((_SUB, lanes), ident, dtype=jnp.float32)
 
-    chunk_carry = tuple(r[:] for r in carry_refs)
+    chunk_carry = group([r[:] for r in carry_refs])
     if reverse:
         block_pref = comp(lane_excl, row_pref)
         global_pref = comp(block_pref, chunk_carry)
@@ -243,30 +320,33 @@ def _scan_kernel(
         global_pref = comp(chunk_carry, block_pref)
 
     # --- 4. Fold into the parked local states (broadcast over steps).
-    local = tuple(o[0] for o in out_refs)
+    local = group([park_read_all(i) for i in range(ctot)])
     final = (
         comp(local, global_pref) if reverse else comp(global_pref, local)
     )
-    for o, f in zip(out_refs, final):
-        o[0] = f
+    for i, f in enumerate(flatten(final)):
+        kind, ref = park[i]
+        if kind == "out":
+            ref[0] = f
 
     # --- 5. Advance the cross-chunk carry.
-    tot_b = tuple(
-        _replicate_full(t, shp) for t, shp in zip(chunk_total, full)
+    tot_b = _tree_map(
+        lambda t: jnp.concatenate([t] * _SUB, axis=0), chunk_total
     )
     new_carry = (
         comp(tot_b, chunk_carry) if reverse else comp(chunk_carry, tot_b)
     )
-    for cref, c in zip(carry_refs, new_carry):
+    for cref, c in zip(carry_refs, flatten(new_carry)):
         cref[:] = c
 
 
 def pallas_monoid_scan(
-    combine,
+    combine_lists,
     identity,
     elems,
     *,
     reverse: bool = False,
+    needed: tuple[int, ...] | None = None,
     block: int | None = None,
     lanes: int | None = None,
 ):
@@ -274,95 +354,100 @@ def pallas_monoid_scan(
 
     Drop-in for the blocked strategy of
     :func:`tinygp_tpu.solvers.quasisep.scan.monoid_scan` when
-    :func:`supports` holds. Leaves of ``elems`` are stacked ``(C, N)``
-    float32 arrays; ``identity`` leaves are ``(C, 1)``.
+    :func:`supports` holds. ``elems`` is a flat tuple of stacked ``(C, N)``
+    float32 leaves; ``identity`` leaves are concrete ``(C, 1)`` arrays;
+    ``combine_lists`` is the component-list combine (tuples of lists in,
+    tuple of lists out). Leaves whose index is not in ``needed`` return
+    zeros (their prefixes are computed in VMEM but never written to HBM).
     """
-    leaves, treedef = jax.tree_util.tree_flatten(elems)
-    idents = treedef.flatten_up_to(identity)
-    # Identity elements are structural constants (eyes/zeros); as numpy
-    # arrays they inline into the kernel as literals instead of captures.
-    # A traced identity (a caller that built it with jnp under jit —
-    # omnistaging stages those) can't be concretized; pass it through as a
-    # regular jnp input instead of crashing.
-    def _materialize(i, l):
-        if isinstance(i, jax.core.Tracer):
-            return jnp.broadcast_to(i, (l.shape[0], 1)).astype(l.dtype)
-        return np.broadcast_to(np.asarray(i), (l.shape[0], 1)).astype(l.dtype)
-
-    idents = [_materialize(i, l) for i, l in zip(idents, leaves)]
+    leaves = list(elems)
+    nleaf = len(leaves)
+    if needed is None:
+        needed = tuple(range(nleaf))
+    counts = tuple(l.shape[0] for l in leaves)
     n = leaves[0].shape[-1]
-    ctot = sum(l.shape[0] for l in leaves)
+
+    ident_leaves = jax.tree_util.tree_leaves(identity)
+    idents = tuple(
+        tuple(float(v) for v in np.asarray(i).reshape(-1))
+        for i in ident_leaves
+    )
+
+    ctot = sum(counts)
     b, ln = _pick_tiles(ctot, n)
     if block is not None:
         b = block
     if lanes is not None:
         ln = lanes
-
-    # The kernel consumes identities PRE-REPLICATED to the (sub, C, lanes)
-    # working shape: replicating host-side (numpy for the common concrete
-    # case, XLA for traced ones) keeps every in-kernel identity use a plain
-    # ref read — Mosaic cannot lower the both-sublanes-and-lanes
-    # vector.broadcast its canonicalizer would otherwise create by pushing
-    # the combine's slices through an in-kernel broadcast.
-    def _to_full(i):
-        if isinstance(i, np.ndarray):
-            return np.ascontiguousarray(
-                np.broadcast_to(i[None, :, :], (_SUB, i.shape[0], ln))
-            )
-        return jnp.broadcast_to(i[None, :, :], (_SUB, i.shape[0], ln))
-
-    idents_full = [_to_full(i) for i in idents]
+    env_b = os.environ.get("TINYGP_TPU_PALLAS_BLOCK")
+    env_l = os.environ.get("TINYGP_TPU_PALLAS_LANES")
+    if env_b:
+        b = int(env_b)
+    if env_l:
+        ln = int(env_l)
 
     chunk = b * _SUB * ln
     nc = -(-n // chunk)
     pad = nc * chunk - n
 
-    def pad_and_tile(x, ident):
+    def pad_and_tile(row, ident_val):
+        """One component row (N,) -> (nc, b, sub, ln) tiles."""
+        x = row
         if pad:
-            width = [(0, 0)] * (x.ndim - 1) + [
-                (pad, 0) if reverse else (0, pad)
-            ]
-            x = jnp.pad(x, width)
+            x = jnp.pad(x, (pad, 0) if reverse else (0, pad))
             idx = jnp.arange(nc * chunk)
             valid = (idx >= pad) if reverse else (idx < n)
-            x = jnp.where(valid, x, jnp.broadcast_to(ident, x.shape))
-        c = x.shape[0]
-        x = x.reshape(c, nc, _SUB, ln, b)
-        return jnp.transpose(x, (1, 4, 2, 0, 3))  # (nc, b, sub, c, ln)
+            x = jnp.where(valid, x, jnp.float32(ident_val))
+        x = x.reshape(nc, _SUB, ln, b)
+        return jnp.transpose(x, (0, 3, 1, 2))  # (nc, b, sub, ln)
 
-    tiled = [pad_and_tile(x, i) for x, i in zip(leaves, idents)]
+    tiled = []
+    for li, leaf in enumerate(leaves):
+        for ci in range(counts[li]):
+            tiled.append(pad_and_tile(leaf[ci], idents[li][ci]))
 
     if reverse:
-        index_map = lambda g: (nc - 1 - g, 0, 0, 0, 0)
+        index_map = lambda g: (nc - 1 - g, 0, 0, 0)
     else:
-        index_map = lambda g: (g, 0, 0, 0, 0)
+        index_map = lambda g: (g, 0, 0, 0)
 
-    in_specs = [
-        pl.BlockSpec((1, b, _SUB, x.shape[3], ln), index_map)
-        for x in tiled
-    ] + [
-        pl.BlockSpec(i.shape, lambda g: (0, 0, 0)) for i in idents_full
-    ]
+    park_kinds = []
+    for li in range(nleaf):
+        park_kinds.extend(
+            ["out" if li in needed else "scr"] * counts[li]
+        )
+
+    in_specs = [pl.BlockSpec((1, b, _SUB, ln), index_map) for _ in tiled]
     out_specs = [
-        pl.BlockSpec((1, b, _SUB, x.shape[3], ln), index_map)
-        for x in tiled
+        pl.BlockSpec((1, b, _SUB, ln), index_map)
+        for k in park_kinds
+        if k == "out"
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct(x.shape, x.dtype) for x in tiled
+        jax.ShapeDtypeStruct((nc, b, _SUB, ln), jnp.float32)
+        for k in park_kinds
+        if k == "out"
     ]
     scratch = [
-        pltpu.VMEM((_SUB, x.shape[3], ln), x.dtype) for x in tiled
-    ]
+        pltpu.VMEM((b, _SUB, ln), jnp.float32)
+        for k in park_kinds
+        if k == "scr"
+    ] + [pltpu.VMEM((_SUB, ln), jnp.float32) for _ in tiled]
 
     def tuple_combine(earlier, later):
-        e = treedef.unflatten(list(earlier))
-        l = treedef.unflatten(list(later))
-        return tuple(treedef.flatten_up_to(combine(e, l)))
+        return list(
+            combine_lists(
+                tuple(tuple(l) for l in earlier),
+                tuple(tuple(l) for l in later),
+            )
+        )
 
     kernel = functools.partial(
         _scan_kernel,
         combine=tuple_combine,
-        nleaf=len(tiled),
+        counts=counts,
+        idents=idents,
+        park_kinds=tuple(park_kinds),
         block=b,
         lanes=ln,
         reverse=reverse,
@@ -379,12 +464,19 @@ def pallas_monoid_scan(
             dimension_semantics=(pltpu.GridDimensionSemantics.ARBITRARY,),
         ),
         interpret=INTERPRET,
-    )(*tiled, *[jnp.asarray(i) for i in idents_full])
+    )(*tiled)
 
     def untile(x):
-        c = x.shape[3]
-        x = jnp.transpose(x, (3, 0, 2, 4, 1))  # (c, nc, sub, ln, b)
-        x = x.reshape(c, nc * chunk)
-        return x[:, pad:] if (reverse and pad) else x[:, :n]
+        x = jnp.transpose(x, (0, 2, 3, 1))  # (nc, sub, ln, b)
+        x = x.reshape(nc * chunk)
+        return x[pad:] if (reverse and pad) else x[:n]
 
-    return treedef.unflatten([untile(x) for x in outs])
+    result, oi = [], 0
+    for li in range(nleaf):
+        if li in needed:
+            rows = [untile(outs[oi + ci]) for ci in range(counts[li])]
+            oi += counts[li]
+            result.append(jnp.stack(rows, axis=0))
+        else:
+            result.append(jnp.zeros_like(leaves[li]))
+    return tuple(result)

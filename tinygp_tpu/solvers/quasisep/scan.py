@@ -91,7 +91,14 @@ def _unroll() -> int:
 
 
 def monoid_scan(
-    combine, identity, elems, *, reverse: bool = False, pallas_ok: bool = True
+    combine,
+    identity,
+    elems,
+    *,
+    reverse: bool = False,
+    pallas_ok: bool = True,
+    combine_lists=None,
+    needed=None,
 ):
     """Exclusive scan of an associative ``combine`` along the LAST axis.
 
@@ -101,6 +108,15 @@ def monoid_scan(
         identity: Identity element (pytree, no lane axis; broadcastable).
         elems: Pytree whose leaves all have the scan axis last (length N).
         reverse: Scan right-to-left.
+        combine_lists: Optional component-level twin of ``combine`` taking
+            and returning tuples of LISTS of per-component arrays (one list
+            per stacked leaf, one array per component row). Enables the
+            single-pass Pallas strategy, whose kernel keeps every monoid
+            component in its own full-vreg tile instead of slicing a
+            stacked component axis at 1/8 sublane utilization.
+        needed: Optional tuple of leaf indices whose prefixes the caller
+            actually consumes; the Pallas strategy skips the HBM writeback
+            of the rest (their slots return zeros). ``None`` = all.
 
     Returns:
         Pytree like ``elems``: at lane k, the composition of all elements
@@ -176,9 +192,13 @@ def monoid_scan(
     # and combine qualify; otherwise run the blocked multi-level strategy.
     from tinygp_tpu.solvers.quasisep import pallas_scan
 
-    if pallas_ok and pallas_scan.supports(elems):
+    if (
+        pallas_ok
+        and combine_lists is not None
+        and pallas_scan.supports(elems, identity)
+    ):
         return pallas_scan.pallas_monoid_scan(
-            combine, identity, elems, reverse=reverse
+            combine_lists, identity, elems, reverse=reverse, needed=needed
         )
 
     # Scale the block so the totals level fits one associative-scan level:
@@ -374,6 +394,147 @@ def _ssolve(M, B, m, r):
 
 
 # ---------------------------------------------------------------------------
+# Component-list twins of the stacked helpers. A stacked (..., m*k, N) leaf
+# becomes a plain Python LIST of m*k per-component arrays; the m x m algebra
+# is then pure elementwise arithmetic with no component-axis slicing or
+# stacking at all. The single-pass Pallas kernel runs its combines in this
+# form so every op touches a full-vreg tile (slicing a stacked leaf's
+# component axis inside the kernel ran at 1/8 sublane utilization — the
+# measured cause of the round-3 kernel's 1.8x loss).
+# ---------------------------------------------------------------------------
+
+
+def _lmm(A, B, m, k, r):
+    """List matmul: m*k-list x k*r-list -> m*r-list."""
+    out = []
+    for i in range(m):
+        for j in range(r):
+            acc = A[i * k] * B[j]
+            for l in range(1, k):
+                acc = acc + A[i * k + l] * B[l * r + j]
+            out.append(acc)
+    return out
+
+
+def _lmm_t(A, B, m, k, r):
+    """List ``A @ B^T``: m*k-list x r*k-list -> m*r-list."""
+    out = []
+    for i in range(m):
+        for j in range(r):
+            acc = A[i * k] * B[j * k]
+            for l in range(1, k):
+                acc = acc + A[i * k + l] * B[j * k + l]
+            out.append(acc)
+    return out
+
+
+def _lt(A, m, k):
+    """List transpose — a free reindexing."""
+    return [A[i * k + j] for j in range(k) for i in range(m)]
+
+
+def _ladd(X, Y):
+    return [x + y for x, y in zip(X, Y)]
+
+
+def _ladd_eye(X, m):
+    return [
+        X[c] + 1.0 if c % (m + 1) == 0 else X[c] for c in range(m * m)
+    ]
+
+
+def _lsolve(M, B, m, r):
+    """List ``solve(M, B)`` via closed-form adjugates (m <= 3 only)."""
+    if m == 1:
+        return [b / M[0] for b in B]
+    if m == 2:
+        a, b, c, d = M
+        inv_det = 1.0 / (a * d - b * c)
+        inv = [d * inv_det, -b * inv_det, -c * inv_det, a * inv_det]
+        return _lmm(inv, B, m, m, r)
+    if m == 3:
+        a, b, c, d, e, f, g, h, i = M
+        A = e * i - f * h
+        Bc = -(d * i - f * g)
+        C = d * h - e * g
+        D = -(b * i - c * h)
+        E = a * i - c * g
+        F = -(a * h - b * g)
+        G = b * f - c * e
+        H = -(a * f - c * d)
+        I = a * e - b * d
+        inv_det = 1.0 / (a * A + b * Bc + c * C)
+        inv = [x * inv_det for x in (A, D, G, Bc, E, H, C, F, I)]
+        return _lmm(inv, B, m, m, r)
+    raise NotImplementedError("list solve requires m <= 3")
+
+
+def affine_combine_lists(m: int, r: int, reverse: bool):
+    """Component-list combine for the affine monoid ``(A, B)``."""
+
+    def combine(earlier, later):
+        A_e, B_e = earlier
+        A_l, B_l = later
+        if reverse:
+            return (
+                _lmm(A_e, A_l, m, m, m),
+                _ladd(_lmm(A_e, B_l, m, m, r), B_e),
+            )
+        return (
+            _lmm(A_l, A_e, m, m, m),
+            _ladd(_lmm(A_l, B_e, m, m, r), B_l),
+        )
+
+    return combine
+
+
+def congruence_combine_lists(m: int, reverse: bool):
+    """Component-list combine for the congruence monoid ``(A, B)``."""
+
+    def combine(earlier, later):
+        A_e, B_e = earlier
+        A_l, B_l = later
+        if reverse:
+            return (
+                _lmm(A_e, A_l, m, m, m),
+                _ladd(_lmm_t(_lmm(A_e, B_l, m, m, m), A_e, m, m, m), B_e),
+            )
+        return (
+            _lmm(A_l, A_e, m, m, m),
+            _ladd(_lmm_t(_lmm(A_l, B_e, m, m, m), A_l, m, m, m), B_l),
+        )
+
+    return combine
+
+
+def riccati_combine_lists(m: int):
+    """Component-list combine for the Riccati (Möbius) monoid ``(A, F, G)``."""
+
+    def combine(earlier, later):
+        A_e, F_e, G_e = earlier
+        A_l, F_l, G_l = later
+        M = _ladd_eye(_lmm(F_e, G_l, m, m, m), m)
+        A = _lmm(A_l, _lsolve(M, A_e, m, m), m, m, m)
+        F = _ladd(
+            F_l,
+            _lmm_t(_lmm(A_l, _lsolve(M, F_e, m, m), m, m, m), A_l, m, m, m),
+        )
+        G = _ladd(
+            G_e,
+            _lmm(
+                _lmm(_lt(A_e, m, m), _lsolve(_lt(M, m, m), G_l, m, m), m, m, m),
+                A_e,
+                m,
+                m,
+                m,
+            ),
+        )
+        return A, F, G
+
+    return combine
+
+
+# ---------------------------------------------------------------------------
 # Affine.
 # ---------------------------------------------------------------------------
 
@@ -396,7 +557,14 @@ def _affine_scan_s(As, Bs, m, r, *, reverse: bool, exclusive: bool):
         )
 
     identity = (_seye(m, As.dtype), np.zeros((m * r, 1), Bs.dtype))
-    excl = monoid_scan(combine, identity, (As, Bs), reverse=reverse)
+    excl = monoid_scan(
+        combine,
+        identity,
+        (As, Bs),
+        reverse=reverse,
+        combine_lists=affine_combine_lists(m, r, reverse),
+        needed=(1,) if exclusive else (0, 1),
+    )
     if exclusive:
         return excl[1]
     pair = (As, Bs)
@@ -603,7 +771,14 @@ def _congruence_scan_s(As, Bs, m, *, reverse: bool):
         )
 
     identity = (_seye(m, As.dtype), np.zeros((m * m, 1), Bs.dtype))
-    _, e = monoid_scan(combine, identity, (As, Bs), reverse=reverse)
+    _, e = monoid_scan(
+        combine,
+        identity,
+        (As, Bs),
+        reverse=reverse,
+        combine_lists=congruence_combine_lists(m, reverse),
+        needed=(1,),
+    )
     return e
 
 
@@ -776,7 +951,12 @@ def _riccati_scan_s(d, ps, qs, as_, m):
     # The merge's m x m solve only lowers in Mosaic via the closed-form
     # adjugate branches; larger orders take the blocked XLA strategy.
     _, F, _ = monoid_scan(
-        combine, identity, (A0, F0, G0), pallas_ok=m <= 3
+        combine,
+        identity,
+        (A0, F0, G0),
+        pallas_ok=m <= 3,
+        combine_lists=riccati_combine_lists(m) if m <= 3 else None,
+        needed=(1,),
     )
     return F
 
