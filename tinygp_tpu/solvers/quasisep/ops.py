@@ -192,6 +192,14 @@ def stacked_loglik_terms(
         x.astype(dtype) for x in (d, ps, qs, as_, y)
     )
     m = ps.shape[0]
+
+    # On TPU at large N, one fused Pallas pass does the whole job (both
+    # scans, emissions, and the reductions in VMEM; scalar outputs).
+    from tinygp_tpu.solvers.quasisep import pallas_loglik
+
+    if pallas_loglik.supported(d, ps, qs, as_, y):
+        return pallas_loglik.fused_loglik_terms(d, ps, qs, as_, y)
+
     Fs = riccati_scan_stacked(d, ps, qs, as_)
 
     # Cholesky emissions: c_k = sqrt(d_k - p^T F p), w_k = (q - a F p) / c.

@@ -142,64 +142,46 @@ def _tree_map(fn, *trees):
     ]
 
 
-def _scan_kernel(
-    *refs,
-    combine,
-    counts: tuple[int, ...],
-    idents: tuple[tuple[float, ...], ...],
-    park_kinds: tuple[str, ...],
-    block: int,
-    lanes: int,
-    reverse: bool,
+def _run_chunk_scan(
+    comp,
+    get_elem,
+    park_write,
+    park_read_all,
+    carry_refs,
+    counts,
+    idents,
+    block,
+    lanes,
+    reverse,
+    g,
 ):
-    """One grid step: scan one chunk, folding in the cross-chunk carry.
+    """Phases 1-5 of the decoupled-lookback scan for ONE monoid, one chunk.
 
-    ``refs`` order: all component inputs (flat, leaf-major), then outputs
-    (only components of ``needed`` leaves), then parked-state scratch (only
-    components of leaves NOT needed), then per-component carry scratch.
-    ``park_kinds[i]`` says where flat component ``i`` parks its block-local
-    states: ``"out"`` (its output ref, block ``(1, B, sub, lanes)``) or
-    ``"scr"`` (VMEM scratch ``(B, sub, lanes)``).
+    Shared by the generic monoid-scan kernel and the fused log-likelihood
+    kernel (which runs two monoids per chunk with elementwise glue).
+
+    Args:
+        comp: Combine on nested ``[leaf][component]`` state lists.
+        get_elem: ``get_elem(s) -> state`` for block step ``s``.
+        park_write / park_read_all: Block-local state parking interface
+            (``park_write(i, s, value)`` for flat component ``i``;
+            ``park_read_all(i) -> (block, sub, lanes)``).
+        carry_refs: Flat per-component ``(sub, lanes)`` VMEM carry refs.
+        counts / idents: Per-leaf component counts and identity scalars.
+        g: The grid index (carry initialization happens at ``g == 0``).
+
+    Returns the folded global exclusive prefixes as a nested state of
+    ``(block, sub, lanes)`` leaves (also written to the park refs), and
+    advances the cross-chunk carry in place.
     """
-    ctot = sum(counts)
-    n_out = sum(1 for k in park_kinds if k == "out")
-    in_refs = refs[:ctot]
-    out_refs = refs[ctot : ctot + n_out]
-    scr_refs = refs[ctot + n_out : 2 * ctot]
-    carry_refs = refs[2 * ctot :]
-
-    # Flat component index -> its parking ref + indexing convention.
-    park = []
-    oi = si = 0
-    for kind in park_kinds:
-        if kind == "out":
-            park.append(("out", out_refs[oi]))
-            oi += 1
-        else:
-            park.append(("scr", scr_refs[si]))
-            si += 1
-
-    def park_write(i, s, val):
-        kind, ref = park[i]
-        if kind == "out":
-            ref[0, s] = val
-        else:
-            ref[s] = val
-
-    def park_read_all(i):
-        kind, ref = park[i]
-        return ref[0] if kind == "out" else ref[:]
+    flat_idents = [i for leaf in idents for i in leaf]
 
     def group(flat):
-        """Flat component list -> nested [leaf][component] structure."""
         out, pos = [], 0
         for c in counts:
             out.append(list(flat[pos : pos + c]))
             pos += c
         return out
-
-    flat_idents = [i for leaf in idents for i in leaf]
-    comp = combine
 
     def ident_state(shape):
         return group(
@@ -215,7 +197,7 @@ def _scan_kernel(
     carry = ident_state((_SUB, lanes))
     steps = range(block - 1, -1, -1) if reverse else range(block)
     for s in steps:
-        elem = group([r[0, s] for r in in_refs])
+        elem = get_elem(s)
         for i, c in enumerate(flatten(carry)):
             park_write(i, s, c)
         carry = comp(elem, carry) if reverse else comp(carry, elem)
@@ -304,8 +286,6 @@ def _scan_kernel(
     )
 
     # --- 2c/3. Global prefix for every block: carry ∘ rows ∘ lanes.
-    g = pl.program_id(0)
-
     @pl.when(g == 0)
     def _():
         for cref, ident in zip(carry_refs, flat_idents):
@@ -320,14 +300,10 @@ def _scan_kernel(
         global_pref = comp(chunk_carry, block_pref)
 
     # --- 4. Fold into the parked local states (broadcast over steps).
-    local = group([park_read_all(i) for i in range(ctot)])
+    local = group([park_read_all(i) for i in range(sum(counts))])
     final = (
         comp(local, global_pref) if reverse else comp(global_pref, local)
     )
-    for i, f in enumerate(flatten(final)):
-        kind, ref = park[i]
-        if kind == "out":
-            ref[0] = f
 
     # --- 5. Advance the cross-chunk carry.
     tot_b = _tree_map(
@@ -338,6 +314,82 @@ def _scan_kernel(
     )
     for cref, c in zip(carry_refs, flatten(new_carry)):
         cref[:] = c
+
+    return final
+
+
+def _scan_kernel(
+    *refs,
+    combine,
+    counts: tuple[int, ...],
+    idents: tuple[tuple[float, ...], ...],
+    park_kinds: tuple[str, ...],
+    block: int,
+    lanes: int,
+    reverse: bool,
+):
+    """One grid step of the generic monoid scan.
+
+    ``refs`` order: all component inputs (flat, leaf-major), then outputs
+    (only components of ``needed`` leaves), then parked-state scratch (only
+    components of leaves NOT needed), then per-component carry scratch.
+    ``park_kinds[i]`` says where flat component ``i`` parks its block-local
+    states: ``"out"`` (its output ref, block ``(1, B, sub, lanes)``) or
+    ``"scr"`` (VMEM scratch ``(B, sub, lanes)``).
+    """
+    ctot = sum(counts)
+    n_out = sum(1 for k in park_kinds if k == "out")
+    in_refs = refs[:ctot]
+    out_refs = refs[ctot : ctot + n_out]
+    scr_refs = refs[ctot + n_out : 2 * ctot]
+    carry_refs = refs[2 * ctot :]
+
+    # Flat component index -> its parking ref + indexing convention.
+    park = []
+    oi = si = 0
+    for kind in park_kinds:
+        if kind == "out":
+            park.append(("out", out_refs[oi]))
+            oi += 1
+        else:
+            park.append(("scr", scr_refs[si]))
+            si += 1
+
+    def park_write(i, s, val):
+        kind, ref = park[i]
+        if kind == "out":
+            ref[0, s] = val
+        else:
+            ref[s] = val
+
+    def park_read_all(i):
+        kind, ref = park[i]
+        return ref[0] if kind == "out" else ref[:]
+
+    def group(flat):
+        out, pos = [], 0
+        for c in counts:
+            out.append(list(flat[pos : pos + c]))
+            pos += c
+        return out
+
+    final = _run_chunk_scan(
+        combine,
+        lambda s: group([r[0, s] for r in in_refs]),
+        park_write,
+        park_read_all,
+        carry_refs,
+        counts,
+        idents,
+        block,
+        lanes,
+        reverse,
+        pl.program_id(0),
+    )
+    for i, f in enumerate(c for leaf in final for c in leaf):
+        kind, ref = park[i]
+        if kind == "out":
+            ref[0] = f
 
 
 def pallas_monoid_scan(
