@@ -49,50 +49,29 @@ BASELINE_SECONDS = 8.49e-3  # celerite2 C++ (1-thread CPU), N=1e5, BASELINE.md
 
 
 def maybe_enable_pallas_scan(details):
-    """Gate the single-pass Pallas scan behind an isolated A/B check.
+    """Enable the Pallas strategies iff a passing on-device verdict exists.
 
-    The kernel is validated end-to-end (value parity + speed win on the
-    headline workload) in a subprocess with a hard timeout, so a Mosaic
-    miscompile or a device hang can cost at most the timeout — the main
-    measurements below always run. On success the flag is exported for this
-    process and every jit trace below picks the Pallas strategy up through
-    ``pallas_scan.supports``.
+    FAIL-CLOSED contract (the round-4 lesson: an unvalidated kernel +
+    fail-open gate put a Mosaic lowering crash in the official bench): the
+    Pallas scan and fused log-lik kernels run only when the committed
+    verdict file (``tinygp_tpu/solvers/quasisep/pallas_verdicts.json``)
+    holds a PASS for the exact current implementation hash. If no verdict
+    exists for this tree, the A/B gate (value + grad parity, speed win, in
+    a subprocess under a hard 60s cap) runs once and records its outcome
+    there; any timeout, crash, regression, or parity failure leaves the
+    kernels OFF and the bench measures the validated XLA strategy instead.
     """
     if jax.default_backend() != "tpu":
         return
     here = os.path.dirname(os.path.abspath(__file__))
 
-    # The A/B subprocess costs tunnel time on every run; its verdict only
-    # changes when the scan implementation (or jaxlib) does, so EVERY
-    # outcome — positive, negative, or timeout — is cached keyed by a hash
-    # of the defining files plus the jaxlib version. The gate's share of a
-    # timeboxed bench run is hard-capped at 60 s: a cold-compile timeout is
-    # recorded as "skipped: budget" (and cached, so it is paid at most
-    # once per implementation change) rather than eating the run.
-    import hashlib
+    from tinygp_tpu.solvers.quasisep import pallas_gate
 
-    import jaxlib
-
-    h = hashlib.sha256()
-    h.update(getattr(jaxlib, "__version__", "?").encode())
-    for rel in (
-        "tinygp_tpu/solvers/quasisep/pallas_scan.py",
-        "tinygp_tpu/solvers/quasisep/scan.py",
-        "benchmarks/pallas_scan_flip.py",
-    ):
-        with open(os.path.join(here, rel), "rb") as f:
-            h.update(f.read())
-    cache_path = os.path.join(
-        here, ".jax_cache", f"pallas_gate_{h.hexdigest()[:16]}.json"
-    )
-    verdict = None
-    try:
-        with open(cache_path) as f:
-            verdict = json.load(f)
-            verdict["cached"] = True
-    except Exception:  # noqa: BLE001 - absent/corrupt cache means re-measure
-        pass
-    if verdict is None:
+    fp = pallas_gate.fingerprint()
+    verdict = pallas_gate._load().get(fp)
+    if verdict is not None:
+        verdict = dict(verdict, cached=True)
+    else:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.join(here, "benchmarks", "pallas_scan_flip.py")],
@@ -101,27 +80,22 @@ def maybe_enable_pallas_scan(details):
                 capture_output=True,
                 text=True,
             )
+            # The gate records its own verdict; trust its stdout line.
             verdict = json.loads(proc.stdout.strip().splitlines()[-1])
         except subprocess.TimeoutExpired:
-            verdict = {"ok": False, "why": "skipped: budget (60s gate cap)"}
+            verdict = {"ok": False, "why": "gate timeout (60s cap) -> fail closed"}
         except Exception as exc:  # noqa: BLE001 - containment is the point
             verdict = {"ok": False, "why": f"{type(exc).__name__}: {exc}"}
-        try:
-            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
-            with open(cache_path, "w") as f:
-                json.dump(verdict, f)
-        except Exception:  # noqa: BLE001 - cache write is best-effort
-            pass
-    details["pallas_scan_gate"] = verdict
-    # The single-pass scan defaults ON (supports() reads the flag's
-    # default as "1"); the gate's job is now to actively DISABLE it when
-    # the A/B reports a regression or parity failure on this backend. A
-    # budget/timeout skip leaves the validated default in place.
-    if verdict.get("ok"):
-        os.environ["TINYGP_TPU_PALLAS_SCAN"] = "1"
-    elif verdict.get("t_on_s") is not None:
-        # The A/B genuinely ran and the kernel lost (or broke parity).
-        os.environ["TINYGP_TPU_PALLAS_SCAN"] = "0"
+        if pallas_gate._load().get(fp) is None:
+            # Gate died before recording (timeout/crash): persist the
+            # negative so every future run of this tree stays fail-closed
+            # without re-paying the gate.
+            try:
+                pallas_gate.record_verdict(False, verdict.get("why", "?"))
+            except Exception:  # noqa: BLE001 - read-only checkout
+                pass
+    details["pallas_scan_gate"] = dict(verdict, fingerprint=fp)
+    os.environ["TINYGP_TPU_PALLAS_SCAN"] = "1" if verdict.get("ok") else "0"
 
 
 def device_seconds_per_eval(fn, params, *args, iters=50):
@@ -192,6 +166,31 @@ def hang_watchdog(timeout_s: int = 240):
     return timer
 
 
+def tree_fingerprint() -> str:
+    """Hash of every source that determines the measured program.
+
+    Recorded into BENCH_DETAILS on each successful run and REQUIRED to
+    match before the stale fallback may reprint an old number: a stale
+    record is only a valid stand-in when the tunnel (not the code) is what
+    broke. Without this check, a revision that crashes on device would
+    keep reporting its predecessor's numbers forever.
+    """
+    import hashlib
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    files = [os.path.join(here, "bench.py")]
+    for root, _dirs, names in os.walk(os.path.join(here, "tinygp_tpu")):
+        files.extend(
+            os.path.join(root, f) for f in names if f.endswith(".py")
+        )
+    for path in sorted(files):
+        with open(path, "rb") as f:
+            h.update(path.encode())
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def stale_fallback() -> bool:
     """When the device is unreachable, report the last good run, marked.
 
@@ -203,6 +202,16 @@ def stale_fallback() -> bool:
             details = json.load(f)
         t_main = float(details["quasisep_loglik_n1e5_s"])
     except Exception:  # noqa: BLE001
+        return False
+    if details.get("tree_fingerprint") != tree_fingerprint():
+        # The recorded numbers came from DIFFERENT code; reprinting them
+        # would mask whatever this revision does on a live device.
+        print(
+            "bench: stale record is from another revision; refusing to "
+            "reprint it",
+            file=sys.stderr,
+            flush=True,
+        )
         return False
     print(
         json.dumps(
@@ -240,7 +249,11 @@ def main():
     watchdog = hang_watchdog()
     device_name = str(jax.devices()[0])  # first device touch; may block
     watchdog.cancel()
-    details = {"device": device_name, "dtype": "float32"}
+    details = {
+        "device": device_name,
+        "dtype": "float32",
+        "tree_fingerprint": tree_fingerprint(),
+    }
 
     def flush_details():
         # Incremental writes: a run killed by the driver's timeout still
@@ -305,6 +318,37 @@ def main():
         )
     except Exception as exc:  # noqa: BLE001 - record and continue
         details["quasisep_loglik_n1e6_s"] = f"failed: {exc}"
+    flush_details()
+
+    # --- diagnostics: 2-term celerite Sum (m = 4), N = 1e5 ---
+    # The reference's flagship use case (two celerite terms summed,
+    # /root/reference/src/tinygp/kernels/quasisep.py:241-295,343-401).
+    # m = 4 exceeds the fused Pallas kernel's m <= 3 closed-form solve, so
+    # this records where the stacked XLA blocked path lands.
+    try:
+        note("measuring 2-term celerite N=1e5")
+
+        def celerite2_loglik(params, X, y):
+            k1 = quasisep.Celerite(
+                a=params["a1"], b=jnp.float32(0.1),
+                c=params["c1"], d=jnp.float32(1.0),
+            )
+            k2 = quasisep.Celerite(
+                a=params["a2"], b=jnp.float32(0.05),
+                c=params["c2"], d=jnp.float32(3.0),
+            )
+            gp = GaussianProcess(k1 + k2, X, diag=0.1, assume_sorted=True)
+            return gp.log_probability(y)
+
+        cparams = {
+            "a1": jnp.float32(1.0), "c1": jnp.float32(0.5),
+            "a2": jnp.float32(0.5), "c2": jnp.float32(1.5),
+        }
+        details["celerite2term_loglik_n1e5_s"] = device_seconds_per_eval(
+            celerite2_loglik, cparams, X, y, iters=50
+        )
+    except Exception as exc:  # noqa: BLE001 - record and continue
+        details["celerite2term_loglik_n1e5_s"] = f"failed: {exc}"
     flush_details()
 
     # --- diagnostics: dense path, N = 1e4 (A100 baseline: 46 ms) ---

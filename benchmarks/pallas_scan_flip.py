@@ -88,6 +88,24 @@ def _timed(jax, jnp, loglik, params, X, y):
     return value, max((t2 - t1) / ITERS, 1e-9)
 
 
+def _grad_value(jax, jnp, loglik, params, X, y):
+    """Per-parameter gradients — exercises the VJP (residuals) path.
+
+    The fused log-lik kernel has a second Mosaic program for its forward-
+    with-residuals variant plus the hand-written Riccati adjoint; a gate
+    that only runs the forward would pass while the bench's gradient
+    measurement crashes (the r04 failure mode, one call later).
+
+    Components are compared individually: their SUM is a catastrophic
+    cancellation at this N (measured 2026-08-20: f64 oracle -23.07 vs
+    ~+417 for BOTH f32 strategies, which agree with each other to ~2e-3
+    relative per component — the f32 reduction noise is shared, not a
+    kernel defect), so a sum-based check rejects on noise.
+    """
+    g = jax.jit(jax.grad(loglik))(params, X, y)
+    return {k: float(v) for k, v in g.items()}
+
+
 def main() -> None:
     result = {"ok": False, "why": "", "t_off_s": None, "t_on_s": None}
     try:
@@ -122,24 +140,51 @@ def main() -> None:
         jax.clear_caches()
         jax_, jnp, loglik, params, X, y = _loglik_fn()
         v_off, t_off = _timed(jax_, jnp, loglik, params, X, y)
+        g_off = _grad_value(jax_, jnp, loglik, params, X, y)
         result["t_off_s"] = t_off
 
         os.environ["TINYGP_TPU_PALLAS_SCAN"] = "1"
         jax.clear_caches()
         jax_, jnp, loglik, params, X, y = _loglik_fn()
         v_on, t_on = _timed(jax_, jnp, loglik, params, X, y)
+        g_on = _grad_value(jax_, jnp, loglik, params, X, y)
         result["t_on_s"] = t_on
 
         rel = abs(v_on - v_off) / max(1.0, abs(v_off))
+        grel = max(
+            abs(g_on[k] - g_off[k]) / max(1.0, abs(g_off[k]))
+            for k in g_off
+        )
         if rel > 1e-5:
             result["why"] = f"value mismatch: off={v_off} on={v_on}"
+        elif grel > 1e-2:
+            result["why"] = f"grad mismatch: off={g_off} on={g_on}"
         elif t_on >= t_off:
             result["why"] = f"no speedup: on={t_on:.2e}s off={t_off:.2e}s"
         else:
             result["ok"] = True
-            result["why"] = f"parity ok (rel={rel:.1e}), {t_off / t_on:.2f}x"
+            result["why"] = (
+                f"parity ok (rel={rel:.1e}, grad {grel:.1e}), "
+                f"{t_off / t_on:.2f}x"
+            )
     except Exception as exc:  # noqa: BLE001 - the whole point is containment
         result["why"] = f"{type(exc).__name__}: {exc}"
+
+    # Persist the outcome in the COMMITTED verdict file keyed by the
+    # implementation fingerprint: a pass recorded here (and committed by
+    # the builder) is what turns the Pallas default on for library users
+    # and for the driver's fresh-checkout bench (pallas_gate.enabled).
+    try:
+        from tinygp_tpu.solvers.quasisep import pallas_gate
+
+        result["fingerprint"] = pallas_gate.record_verdict(
+            result["ok"],
+            result["why"],
+            t_off_s=result["t_off_s"],
+            t_on_s=result["t_on_s"],
+        )
+    except Exception as exc:  # noqa: BLE001 - read-only checkout etc.
+        result["record_error"] = f"{type(exc).__name__}: {exc}"
     print(json.dumps(result))
 
 

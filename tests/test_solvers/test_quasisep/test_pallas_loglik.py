@@ -68,8 +68,11 @@ def test_gradient_parity(operands, monkeypatch):
         )
 
 
-def test_supported_gating(operands):
+def test_supported_gating(operands, monkeypatch):
     d, p, q, a, y = operands
+    # Enablement is fail-closed: force ON so the structural checks below
+    # are what is under test (the verdict plumbing has its own test).
+    monkeypatch.setenv("TINYGP_TPU_PALLAS_SCAN", "1")
     # CPU without interpret mode: refuse.
     assert not pallas_loglik.supported(d, p, q, a, y)
     pallas_scan.INTERPRET = True

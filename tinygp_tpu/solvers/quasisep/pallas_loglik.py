@@ -51,8 +51,19 @@ _LANES = 128
 
 
 def supported(d, ps, qs, as_, y) -> bool:
-    """Whether the fused kernel can run for these operands."""
-    if os.environ.get("TINYGP_TPU_PALLAS_SCAN", "1") != "1":
+    """Whether the fused kernel can run for these operands.
+
+    Enablement is fail-closed (see ``pallas_gate``): without an explicit
+    ``TINYGP_TPU_PALLAS_SCAN=1`` override, the kernel only becomes the
+    default when a committed passing on-device verdict exists for the
+    current implementation hash. ``TINYGP_TPU_PALLAS_LOGLIK=0`` kills just
+    this fused kernel while leaving the generic scan kernel alone.
+    """
+    from tinygp_tpu.solvers.quasisep import pallas_gate
+
+    if os.environ.get("TINYGP_TPU_PALLAS_LOGLIK") == "0":
+        return False
+    if not pallas_gate.enabled():
         return False
     if not (pallas_scan.INTERPRET or jax.default_backend() == "tpu"):
         return False
@@ -230,13 +241,23 @@ def _loglik_kernel(
 
     alpha = (y_in - sum(p_in[i] * e[i] for i in range(m))) * ic
 
+    # The two scalar reductions accumulate into full (sub, lanes) vreg
+    # tiles, reduced to scalars by the caller AFTER the pallas_call.
+    # Mosaic cannot lower scalar stores to VMEM (the r04 bench crash:
+    # "_masked_swap_lowering_rule: Cannot store scalars to VMEM"), and a
+    # vector accumulator is also the faster shape — the per-chunk partial
+    # sums stay one full-width VPU add each. Pad rows contribute exactly
+    # zero to both tiles (c = 1, alpha = 0), so the outside sum is exact.
+    quad_part = jnp.sum(jnp.square(alpha), axis=0)  # (sub, lanes)
+    logdet_part = jnp.sum(jnp.log(c), axis=0)
+
     @pl.when(g == 0)
     def _():
-        quad_ref[0, 0] = jnp.float32(0.0)
-        logdet_ref[0, 0] = jnp.float32(0.0)
+        quad_ref[...] = jnp.zeros_like(quad_part)
+        logdet_ref[...] = jnp.zeros_like(logdet_part)
 
-    quad_ref[0, 0] += jnp.sum(jnp.square(alpha))
-    logdet_ref[0, 0] += jnp.sum(jnp.log(c))
+    quad_ref[...] += quad_part
+    logdet_ref[...] += logdet_part
 
 
 def _call_kernel(d, ps, qs, as_, y, *, residuals: bool):
@@ -278,13 +299,15 @@ def _call_kernel(d, ps, qs, as_, y, *, residuals: bool):
 
     index_map = lambda g: (g, 0, 0, 0)
     in_specs = [pl.BlockSpec((1, b, _SUB, ln), index_map) for _ in tiled]
+    # Reduction outputs are (sub, lanes) accumulator tiles (NOT (1,1)
+    # scalars — Mosaic rejects scalar VMEM stores); reduced below.
     out_specs = [
-        pl.BlockSpec((1, 1), lambda g: (0, 0)),
-        pl.BlockSpec((1, 1), lambda g: (0, 0)),
+        pl.BlockSpec((_SUB, ln), lambda g: (0, 0)),
+        pl.BlockSpec((_SUB, ln), lambda g: (0, 0)),
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((_SUB, ln), jnp.float32),
+        jax.ShapeDtypeStruct((_SUB, ln), jnp.float32),
     ]
     if residuals:
         out_specs += [
@@ -324,8 +347,8 @@ def _call_kernel(d, ps, qs, as_, y, *, residuals: bool):
         interpret=pallas_scan.INTERPRET,
     )(*tiled)
 
-    quad = outs[0][0, 0]
-    logdet = outs[1][0, 0]
+    quad = jnp.sum(outs[0])
+    logdet = jnp.sum(outs[1])
     if not residuals:
         return quad, logdet
 

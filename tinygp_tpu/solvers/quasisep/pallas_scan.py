@@ -92,12 +92,15 @@ def supports(elems, identity=None, *, combine_ok: bool = True) -> bool:
     """
     if not combine_ok:
         return False
-    if os.environ.get("TINYGP_TPU_PALLAS_SCAN", "1") != "1":
-        # ON by default since the 2026-08-20 on-device validation (value
-        # parity + 4.6x on the fused log-lik, benchmarks/scan_iso.py);
-        # kill with TINYGP_TPU_PALLAS_SCAN=0 (bench.py does, if its
-        # independent A/B gate benchmarks/pallas_scan_flip.py ever
-        # reports a regression).
+    # Fail-closed enablement: TINYGP_TPU_PALLAS_SCAN=1 forces ON (tests,
+    # the gate's own ON leg), =0 forces OFF, and *unset* defers to the
+    # committed on-device verdict for this exact implementation hash
+    # (pallas_gate.py) — an edited kernel falls back to the XLA strategy
+    # until the A/B gate (benchmarks/pallas_scan_flip.py) re-passes on
+    # real hardware.
+    from tinygp_tpu.solvers.quasisep import pallas_gate
+
+    if not pallas_gate.enabled():
         return False
     if not (INTERPRET or jax.default_backend() == "tpu"):
         return False
@@ -127,7 +130,14 @@ def _pick_tiles(ctot: int, n: int) -> tuple[int, int]:
     copies of all components: ``_COPIES * B * 8 * L * 4 * ctot``.
     """
     lanes = 128
-    budget = _VMEM_TARGET // (_COPIES * _SUB * ctot * 4)
+    # Fat combines (m=4 Riccati: ctot=48) hold more chunk-sized live values
+    # than the 4-copy model admits — the block-Schur merge's intermediates
+    # don't all fuse, and Mosaic's measured footprint at ctot=48/block=16
+    # was 24.2 MB against the model's 12 MB (compile-time VMEM OOM,
+    # 2026-08-20). Halve the target for anything beyond the validated
+    # ctot<=12 regime instead of trusting the model's copy count there.
+    target = _VMEM_TARGET if ctot <= 12 else _VMEM_TARGET // 2
+    budget = target // (_COPIES * _SUB * ctot * 4)
     block = max(8, min(64, budget // lanes))
     # Small problems: shrink the chunk so there are at least a few blocks.
     while block * _SUB * lanes > max(n, 1) and block > 8:
