@@ -123,3 +123,39 @@ def test_ops_jit_and_grad(system):
     g_seq = jax.jit(jax.grad(lambda p_: loss(p_, False)))(p)
     g_par = jax.jit(jax.grad(lambda p_: loss(p_, True)))(p)
     assert_allclose(g_par, g_seq)
+
+
+def test_ssolve_lsolve_m4_schur_matches_lu():
+    """The m=4 closed-form block-Schur solve vs the batched-LU oracle.
+
+    m=4 is the 2-term celerite case (the reference's flagship model,
+    /root/reference/src/tinygp/kernels/quasisep.py:241-295): through the
+    batched-LU fallback the N=1e5 log-lik measured 353 ms on the TPU; the
+    Schur branch keeps the combine elementwise.
+    """
+    import numpy as np
+
+    from tinygp_tpu.solvers.quasisep import scan as _scan
+
+    rng = np.random.default_rng(11)
+    n = 37
+    # Near-identity operands, like the scan merges' M = I + F G.
+    Mb = np.eye(4) + 0.2 * rng.normal(size=(n, 4, 4))
+    Bb = rng.normal(size=(n, 4, 2))
+    want = np.linalg.solve(Mb, Bb)
+
+    # Stacked form: (m*m, N) / (m*r, N).
+    Ms = jnp.asarray(np.moveaxis(Mb.reshape(n, 16), 0, -1))
+    Bs = jnp.asarray(np.moveaxis(Bb.reshape(n, 8), 0, -1))
+    got = _scan._ssolve(Ms, Bs, 4, 2)
+    assert_allclose(
+        np.moveaxis(np.asarray(got), -1, 0).reshape(n, 4, 2), want,
+        atol=1e-6,
+    )
+
+    # Component-list form (the Pallas combine's representation).
+    Ml = [Ms[k] for k in range(16)]
+    Bl = [Bs[k] for k in range(8)]
+    got_l = _scan._lsolve(Ml, Bl, 4, 2)
+    got_l = np.moveaxis(np.stack(got_l), -1, 0).reshape(n, 4, 2)
+    assert_allclose(got_l, want, atol=1e-6)
