@@ -32,7 +32,10 @@ import jax.numpy as jnp
 import numpy as np
 
 N = 10_000
-M = 10_000
+# Prediction-grid size: the naive (blocked=False) leg's working set at
+# M=1e4 needs 16.09 GB against the v5e's 15.75 GB HBM (the reference's
+# A100 had 40 GB); M=6e3 keeps BOTH legs resident so the A/B is honest.
+M = 6_000
 ITERS = 3
 
 
@@ -48,7 +51,7 @@ def main():
         kernel = params["amp"] * kernels.Matern32(scale=params["scale"])
         gp = GaussianProcess(kernel, X, diag=0.1, blocked=blocked)
         _, cond = gp.condition(y, Xt)
-        return jnp.sum(cond.gp.variance) + jnp.sum(cond.gp.loc)
+        return jnp.sum(cond.variance) + jnp.sum(cond.loc)
 
     params = {"amp": jnp.float32(1.5), "scale": jnp.float32(2.5)}
 
@@ -87,13 +90,29 @@ def main():
 
     v_fast, t_fast = timed(True)
     v_native, t_native = timed(False)
-    rel = abs(v_fast - v_native) / max(1.0, abs(v_native))
+
+    # Accuracy check on the posterior VARIANCE elementwise (the summed
+    # loc+variance scalar mixes in a near-cancelling sum of posterior
+    # means and reads as a huge "relative" diff even when both legs are
+    # fine). The variance is the cancellation-sensitive quantity: the
+    # split-bf16 condition path was removed after it produced NEGATIVE
+    # variances here (2026-08-20).
+    def variances(params, X, y, Xt, blocked):
+        kernel = params["amp"] * kernels.Matern32(scale=params["scale"])
+        gp = GaussianProcess(kernel, X, diag=0.1, blocked=blocked)
+        _, cond = gp.condition(y, Xt)
+        return cond.variance
+
+    var_b = jax.jit(lambda *a: variances(*a, True))(params, X, y, Xt)
+    var_n = jax.jit(lambda *a: variances(*a, False))(params, X, y, Xt)
+    var_maxdiff = float(jnp.max(jnp.abs(var_b - var_n)))
     result = {
         "workload": f"dense condition+variance N={N} M={M} f32",
-        "t_fused_s": t_fast,
-        "t_native_s": t_native,
+        "t_blocked_factor_s": t_fast,
+        "t_native_factor_s": t_native,
         "speedup": t_native / t_fast,
-        "value_rel_diff": rel,
+        "variance_max_abs_diff": var_maxdiff,
+        "variance_min": float(jnp.min(var_b)),
     }
     print(json.dumps(result), flush=True)
     path = os.path.join(os.path.dirname(__file__), "condition_bench.json")

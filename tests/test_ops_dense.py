@@ -382,72 +382,3 @@ def test_kernel_strip_loglik_grad_matches_native():
         assert abs(float(g1[k]) - float(g0[k])) < 2e-3 * abs(float(g0[k])) + 1e-3, k
 
 
-def test_solve_triangular_many_matches_native():
-    rng = np.random.default_rng(11)
-    n, m = 700, 300
-    A = rng.normal(size=(n, n)).astype(np.float32) / np.sqrt(n)
-    K = A @ A.T + 0.5 * np.eye(n, dtype=np.float32)
-    L = jnp.asarray(np.linalg.cholesky(K))
-    B = jnp.asarray(rng.normal(size=(n, m)).astype(np.float32))
-    from tinygp_tpu.ops.dense import solve_triangular_many
-
-    for transpose in (False, True):
-        got = solve_triangular_many(
-            L, B, transpose=transpose, block=256, min_size=0, min_rhs=0
-        )
-        want = jax.scipy.linalg.solve_triangular(
-            L, B, lower=True, trans=1 if transpose else 0
-        )
-        np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
-        )
-
-
-def test_solve_triangular_many_thin_falls_back_native():
-    rng = np.random.default_rng(12)
-    n = 300
-    L = jnp.asarray(
-        np.linalg.cholesky(
-            np.eye(n, dtype=np.float32)
-            + 0.01 * rng.normal(size=(n, n)).astype(np.float32) @ np.eye(n)
-        )
-    )
-    from tinygp_tpu.ops.dense import solve_triangular_many
-
-    y = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
-    got = solve_triangular_many(L, y)
-    want = jax.scipy.linalg.solve_triangular(L, y, lower=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
-
-
-def test_solve_triangular_many_custom_vjp():
-    rng = np.random.default_rng(13)
-    n, m = 520, 260
-    A = rng.normal(size=(n, n)).astype(np.float32) / np.sqrt(n)
-    K = A @ A.T + 0.5 * np.eye(n, dtype=np.float32)
-    L = jnp.asarray(np.linalg.cholesky(K))
-    B = jnp.asarray(rng.normal(size=(n, m)).astype(np.float32))
-    from tinygp_tpu.ops.dense import solve_triangular_many
-
-    for transpose in (False, True):
-
-        def fast(L, B):
-            X = solve_triangular_many(
-                L, B, transpose=transpose, block=256, min_size=0, min_rhs=0
-            )
-            return jnp.sum(jnp.sin(X))
-
-        def native(L, B):
-            X = jax.scipy.linalg.solve_triangular(
-                L, B, lower=True, trans=1 if transpose else 0
-            )
-            return jnp.sum(jnp.sin(X))
-
-        gL, gB = jax.grad(fast, argnums=(0, 1))(L, B)
-        wL, wB = jax.grad(native, argnums=(0, 1))(L, B)
-        np.testing.assert_allclose(
-            np.asarray(gB), np.asarray(wB), rtol=3e-4, atol=3e-4
-        )
-        np.testing.assert_allclose(
-            np.asarray(gL), np.asarray(jnp.tril(wL)), rtol=3e-4, atol=2e-3
-        )

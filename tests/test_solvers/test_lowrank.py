@@ -210,3 +210,50 @@ def test_gradients_finite_with_duplicate_inducing(data):
 
     g = jax.jit(jax.grad(loss))(jnp.asarray([1.3, 1.5]))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_cap_apply_nan_input_poisons_not_crashes():
+    """Non-finite capacitance must NEVER reach eigh.
+
+    On the TPU a NaN eigh input does not return NaN — it crashes the
+    whole TPU worker process (observed 2026-08-20, under-ridged Kmm at
+    N=1e4/M=512/f32). The guard substitutes a finite operand and poisons
+    the OUTPUT, so the GP-level NaN -> -inf guard still fires.
+    """
+    from tinygp_tpu.solvers.lowrank import _cap_apply
+
+    S = jnp.full((4, 4), jnp.nan, jnp.float32)
+    T = jnp.ones((4, 1), jnp.float32)
+    out = jax.jit(lambda S, T: _cap_apply(S, T, -1))(S, T)
+    assert np.all(np.isnan(np.asarray(out)))
+
+    # And the JVP path.
+    def f(S):
+        return jnp.sum(_cap_apply(S, T, -1))
+
+    val, tan = jax.jvp(f, (S,), (jnp.ones_like(S),))
+    assert np.isnan(float(val)) and np.isnan(float(tan))
+
+
+def test_f32_clustered_inducing_loglik_finite():
+    """The trace-scaled ridge keeps chol(Kmm) finite for clustered Z.
+
+    The max|diag|-scaled ridge was ~M times smaller than f32 round-off on
+    a smooth kernel's gram (||Kmm||_2 ~ trace, not max diag), producing a
+    NaN factor at M=512 on the TPU bench workload.
+    """
+    from tinygp_tpu import GaussianProcess, kernels
+    from tinygp_tpu.solvers import LowRankSolver
+
+    rng = np.random.default_rng(42)
+    n, m = 2048, 256
+    X = jnp.asarray(np.sort(rng.uniform(0, 10, n)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=n), jnp.float32)
+    Z = X[:: n // m][:m]
+    kernel = jnp.float32(1.5) * kernels.Matern32(scale=jnp.float32(2.5))
+    gp = GaussianProcess(
+        kernel, X, diag=jnp.float32(0.1), solver=LowRankSolver,
+        inducing_points=Z,
+    )
+    val = float(jax.jit(gp.log_probability)(y))
+    assert np.isfinite(val)

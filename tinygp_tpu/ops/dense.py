@@ -59,7 +59,6 @@ __all__ = [
     "blocked_loglik_terms",
     "cholesky_with_fallback",
     "kernel_loglik_terms",
-    "solve_triangular_many",
     "split_matmul",
     "split_syrk",
 ]
@@ -345,134 +344,14 @@ def cholesky_with_fallback(
     return lax.cond(bad, jnp.linalg.cholesky, lambda _: L, K)
 
 
-# Fast many-RHS triangular solves engage above this RHS count: the flop
-# bulk is then the off-diagonal GEMM updates, which the split-bf16 path
-# runs at the fast MXU rate. (For thin right-hand sides a blocked
-# substitution measured a wash against the native TRSM —
-# docs/rooflines.md §1 — because the per-panel solve latency dominates.)
-_MIN_RHS_BLOCKED = 256
-
-
-def _solve_many_impl(
-    L: Array, B: Array, transpose: bool, block: int
-) -> Array:
-    """Blocked triangular substitution with split-GEMM panel updates.
-
-    Solves ``L X = B`` (or ``L^T X = B``) for lower-triangular ``L`` of
-    shape ``(n, n)`` and wide ``B`` of ``(n, m)``. Per panel: one native
-    ``(block, block)`` triangular solve, then a fused split-bf16 GEMM
-    folds the panel into the remaining right-hand sides — a shrinking
-    "tail" carried functionally, so no in-place full-matrix updates
-    materialize. O(n^2 m) flops, ~all on the fast MXU path.
-    """
-    n = L.shape[0]
-    pad = (-n) % block
-    if pad:
-        # blockdiag(L, I) with zero-padded rows of B: the pad rows of X
-        # solve to zero and never feed back into the real rows.
-        L = jnp.block(
-            [
-                [L, jnp.zeros((n, pad), L.dtype)],
-                [jnp.zeros((pad, n), L.dtype), jnp.eye(pad, dtype=L.dtype)],
-            ]
-        )
-        B = jnp.concatenate(
-            [B, jnp.zeros((pad,) + B.shape[1:], B.dtype)], axis=0
-        )
-    m = L.shape[0]
-    nb = m // block
-    outs: list[Array] = [None] * nb
-
-    with jax.default_matmul_precision("highest"):
-        if not transpose:
-            tail = B
-            for k in range(nb):
-                lo = k * block
-                L11 = lax.dynamic_slice(L, (lo, lo), (block, block))
-                Xk = jax.scipy.linalg.solve_triangular(
-                    L11, tail[:block], lower=True
-                )
-                outs[k] = Xk
-                if k + 1 < nb:
-                    L21 = lax.dynamic_slice(
-                        L, (lo + block, lo), (m - lo - block, block)
-                    )
-                    tail = tail[block:] - split_matmul(L21, Xk)
-        else:
-            tail = B
-            for k in range(nb - 1, -1, -1):
-                lo = k * block
-                L11 = lax.dynamic_slice(L, (lo, lo), (block, block))
-                Xk = jax.scipy.linalg.solve_triangular(
-                    L11, tail[-block:], lower=True, trans=1
-                )
-                outs[k] = Xk
-                if k > 0:
-                    # rows above lo: B[:lo] -= L[lo:lo+block, :lo]^T X_k
-                    Lrow = lax.dynamic_slice(L, (lo, 0), (block, lo))
-                    upd = split_matmul(jnp.swapaxes(Lrow, 0, 1), Xk)
-                    tail = tail[:-block] - upd
-    X = jnp.concatenate(outs, axis=0)
-    return X[:n]
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _solve_many(L, B, transpose, block):
-    return _solve_many_impl(L, B, transpose, block)
-
-
-def _solve_many_fwd(L, B, transpose, block):
-    X = _solve_many(L, B, transpose, block)
-    return X, (L, X)
-
-
-def _solve_many_bwd(transpose, block, res, Xbar):
-    # X = op(L)^-1 B  =>  Bbar = op(L)^-T Xbar (the same fast solver, in
-    # the opposite direction) and Lbar = -op'(Bbar X^T) restricted to the
-    # lower triangle of L.
-    L, X = res
-    Bbar = _solve_many(L, Xbar, not transpose, block)
-    with jax.default_matmul_precision("highest"):
-        if transpose:
-            G = -jnp.matmul(X, jnp.swapaxes(Bbar, 0, 1))
-        else:
-            G = -jnp.matmul(Bbar, jnp.swapaxes(X, 0, 1))
-    return jnp.tril(G), Bbar
-
-
-_solve_many.defvjp(_solve_many_fwd, _solve_many_bwd)
-
-
-def solve_triangular_many(
-    L: Array,
-    B: Array,
-    *,
-    transpose: bool = False,
-    block: int = _BLOCK,
-    min_size: int = _MIN_BLOCKED,
-    min_rhs: int = _MIN_RHS_BLOCKED,
-) -> Array:
-    """``solve_triangular(L, B)`` tuned for WIDE right-hand sides.
-
-    Falls back to the native TRSM when the operands are small, thin, or
-    not float32 (where the split-GEMM bulk cannot engage). The fast path
-    always uses the f32-grade (~6e-8 operand error) 3-term split.
-
-    Replaces ``/root/reference/src/tinygp/solvers/direct.py:66-70`` at
-    conditioning call sites, where the right-hand side is the ``(N, M)``
-    cross-covariance.
-    """
-    if (
-        L.dtype != jnp.float32
-        or B.dtype != jnp.float32
-        or B.ndim != 2
-        or B.shape[1] < min_rhs
-        or L.shape[0] < max(min_size, block)
-    ):
-        return jax.scipy.linalg.solve_triangular(
-            L, B, lower=True, trans=1 if transpose else 0
-        )
-    return _solve_many(L, B, transpose, block)
+# Removed (measured negative, 2026-08-20): a blocked triangular
+# substitution with split-bf16 panel GEMMs for wide right-hand sides
+# (`solve_triangular_many`/`_solve_many`) and its use with `split_syrk`
+# in DirectSolver.condition. End to end at N=1e4/M=6e3 it measured 0.77x
+# the native formulation AND ~1e-2 absolute error in the whitened
+# cross-covariance (split operand error amplified by cond(L) across the
+# sequential panels), which posterior-variance cancellation turned into
+# negative variances. benchmarks/condition_bench.json is the record.
 
 
 def _native_loglik_terms(K: Array, r: Array) -> tuple[Array, Array]:

@@ -176,18 +176,16 @@ class DirectSolver(Solver):
         return -0.5 * (quad + n * np.log(2.0 * np.pi)) - half_logdet
 
     def solve_triangular(self, y: Array, *, transpose: bool = False) -> Array:
-        # Thin right-hand sides: native TRSM (a blocked substitution was
-        # tried and measures within noise of it on v5e — 2.38 vs 2.35 ms
-        # at N=1e4, 1 RHS — docs/rooflines.md §1, negative results). WIDE
-        # right-hand sides (conditioning at many test points): the blocked
-        # substitution with split-bf16 GEMM updates, where the O(N^2 M)
-        # flop bulk moves to the fast MXU path.
-        if self.blocked:
-            from tinygp_tpu.ops.dense import solve_triangular_many
-
-            return solve_triangular_many(
-                self.scale_tril, y, transpose=transpose
-            )
+        # Native TRSM for every right-hand-side shape. Thin RHS: a blocked
+        # substitution measured within noise of native (2.38 vs 2.35 ms at
+        # N=1e4, 1 RHS). Wide RHS: the round-4 split-bf16 blocked
+        # substitution measured a clean NEGATIVE on v5e (2026-08-20,
+        # benchmarks/condition_bench.json): 0.77x the native formulation
+        # end-to-end AND ~1e-2 absolute error in the whitened
+        # cross-covariance — the split operand error amplifies by the
+        # factor's condition number across the sequential panel
+        # substitution, which a posterior-variance cancellation then turns
+        # into negative variances. docs/rooflines.md §1, negative results.
         return linalg.solve_triangular(
             self.scale_tril, y, lower=True, trans=1 if transpose else 0
         )
@@ -203,12 +201,12 @@ class DirectSolver(Solver):
         """Dense conditional covariance ``Kss - A.T @ A``, ``A = L^{-1} Ks``.
 
         Matches ``/root/reference/src/tinygp/solvers/direct.py:75-95``.
-        For large f32 systems both O(N^2 M) stages run on the fast MXU
-        path: the cross-covariance whitening through the blocked
-        split-GEMM substitution (``solve_triangular`` above) and the
-        ``A^T A`` downdate through the 4-pass split SYRK — the same
-        f32-grade (~6e-8) arithmetic as the factorization's trailing
-        updates.
+        Both O(N^2 M) stages stay on the native kernels with pinned f32
+        precision: the round-4 split-bf16 substitution + split-SYRK route
+        measured slower AND less accurate (see ``solve_triangular``) —
+        posterior variance is a large cancellation (prior ~1.5 down to
+        ~3e-3 on the bench workload), so the downdate needs every f32
+        digit the hardware has.
         """
         if X_test is None:
             Ks = kernel(self.X, self.X)
@@ -217,13 +215,4 @@ class DirectSolver(Solver):
             Ks = kernel(self.X, X_test)
             Kss = kernel(X_test, X_test) + noise
         A = self.solve_triangular(Ks)
-        if (
-            self.blocked
-            and A.dtype == jnp.float32
-            and A.ndim == 2
-            and A.shape[0] >= 4096
-        ):
-            from tinygp_tpu.ops.dense import split_syrk
-
-            return Kss - split_syrk(A.T)
         return Kss - jnp.matmul(A.T, A, precision="highest")

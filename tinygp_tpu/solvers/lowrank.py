@@ -65,6 +65,22 @@ def _phi_prime(lam: Array, sign: int) -> Array:
     return (1.0 + 2.0 * u) / (2.0 * u * (u * (1.0 + u)) ** 2)
 
 
+def _finite_guard(S: Array) -> tuple[Array, Array]:
+    """Replace a non-finite ``S`` with I and return a NaN poison scalar.
+
+    ``eigh`` MUST never see non-finite input on TPU: the iterative
+    eigensolver does not converge and takes the whole TPU worker process
+    down (observed 2026-08-20 when an under-ridged Cholesky upstream
+    produced a NaN capacitance). The guard keeps the solve well-defined
+    and re-injects NaN into the *output*, so the GP-level NaN -> -inf
+    log-probability guard still sees the failure.
+    """
+    bad = ~jnp.all(jnp.isfinite(S))
+    safe = jnp.where(bad, jnp.eye(S.shape[0], dtype=S.dtype), S)
+    poison = jnp.where(bad, jnp.nan, 0.0).astype(S.dtype)
+    return safe, poison
+
+
 @partial(jax.custom_jvp, nondiff_argnums=(2,))
 def _cap_apply(S: Array, T: Array, sign: int) -> Array:
     """``phi(S) @ T`` with a tie-safe derivative.
@@ -79,21 +95,23 @@ def _cap_apply(S: Array, T: Array, sign: int) -> Array:
     including the rank-deficient ones where the generic eigh VJP divides
     by zero.
     """
+    S, poison = _finite_guard(S)
     lam, E = jnp.linalg.eigh(S)
     f = _phi(jnp.maximum(lam, 0.0), sign)
-    return pdot(E, f[:, None] * pdot(E.T, T))
+    return pdot(E, f[:, None] * pdot(E.T, T)) + poison
 
 
 @_cap_apply.defjvp
 def _cap_apply_jvp(sign, primals, tangents):
     S, T = primals
     dS, dT = tangents
+    S, poison = _finite_guard(S)
     lam, E = jnp.linalg.eigh(S)
     lam = jnp.maximum(lam, 0.0)
     f = _phi(lam, sign)
     df = _phi_prime(lam, sign)
     Et_T = pdot(E.T, T)
-    primal = pdot(E, f[:, None] * Et_T)
+    primal = pdot(E, f[:, None] * Et_T) + poison
 
     den = lam[:, None] - lam[None, :]
     tol = 1e-6 * (1.0 + lam[:, None] + lam[None, :])
@@ -105,8 +123,10 @@ def _cap_apply_jvp(sign, primals, tangents):
     )
     dS_sym = 0.5 * (dS + dS.T)
     inner = pdot(E.T, pdot(dS_sym, E))
-    tangent = pdot(E, pdot(diff * inner, Et_T)) + pdot(
-        E, f[:, None] * pdot(E.T, dT)
+    tangent = (
+        pdot(E, pdot(diff * inner, Et_T))
+        + pdot(E, f[:, None] * pdot(E.T, dT))
+        + poison
     )
     return primal, tangent
 
@@ -178,9 +198,13 @@ class LowRankSolver(Solver):
         # (eigenvalues decay past machine eps), so the factorization needs
         # a ridge: sized by dtype to dominate the round-off negative tail
         # (so chol cannot NaN) while perturbing Qff far below the test
-        # tolerance policy.
+        # tolerance policy. The tail scales with ||Kmm||_2, for which the
+        # trace is the cheap PSD upper bound — scaling by max|diag| alone
+        # was ~M times too small for clustered inducing points (measured
+        # 2026-08-20: NaN factor at N=1e4, M=512, f32 on the v5e, whose
+        # eigh then took the whole TPU worker process down).
         rel = 1e-10 if Kmm.dtype == jnp.float64 else 3e-6
-        ridge = rel * jnp.max(jnp.abs(jnp.diagonal(Kmm)))
+        ridge = rel * jnp.sum(jnp.abs(jnp.diagonal(Kmm)))
         Kmm = Kmm + ridge * jnp.eye(Kmm.shape[0], dtype=Kmm.dtype)
         Lmm = jax.scipy.linalg.cholesky(Kmm, lower=True)
         # W = Knm Lmm^{-T}: one triangular solve against the M x M factor.
@@ -224,12 +248,39 @@ class LowRankSolver(Solver):
         # Dense Khat; O(N^2 M) — for tests and small problems only.
         return jnp.diag(self.D) + pdot(self.W, self.W.T)
 
+    def _cap_chol(self) -> Array:
+        """Cholesky of the M x M capacitance ``I + S`` (always SPD)."""
+        eye = jnp.eye(self.S.shape[0], dtype=self.S.dtype)
+        return jax.scipy.linalg.cholesky(eye + self.S, lower=True)
+
     def normalization(self) -> Array:
         n = self.D.shape[0]
-        eye = jnp.eye(self.S.shape[0], dtype=self.S.dtype)
-        _, logdet_cap = jnp.linalg.slogdet(eye + self.S)
+        logdet_cap = 2.0 * jnp.sum(jnp.log(jnp.diagonal(self._cap_chol())))
         logdet = jnp.sum(jnp.log(self.D)) + logdet_cap
         return 0.5 * logdet + 0.5 * n * np.log(2 * np.pi)
+
+    def log_likelihood(self, r: Array) -> Array:
+        """Fused Woodbury log density — no eigendecomposition.
+
+        The generic route whitens through the symmetric square root,
+        whose ``eigh(M x M)`` dominates the whole evaluation on TPU (the
+        iterative eigensolver costs ~20 ms at M=512 — measured
+        2026-08-20, ``benchmarks/lowrank_bench.json``'s N-independent
+        ~23 ms floor). The quadratic form only needs ``Khat^{-1}``,
+        which Woodbury gives through one M x M Cholesky::
+
+            quad = z^T z - u^T (I + S)^{-1} u,  z = D^{-1/2} r, u = V^T z
+            log|Khat| = sum log D + 2 sum log diag(chol(I + S))
+
+        The square-root operator (``solve_triangular``/``dot_triangular``)
+        keeps the eigh route for sampling and conditioning semantics.
+        """
+        z = r / jnp.sqrt(self.D)
+        u = pdot((self.W / self.D[:, None]).T, r)
+        C = self._cap_chol()
+        w = jax.scipy.linalg.solve_triangular(C, u, lower=True)
+        quad = jnp.sum(jnp.square(z)) - jnp.sum(jnp.square(w))
+        return -0.5 * quad - self.normalization()
 
     def solve_triangular(self, y: Array, *, transpose: bool = False) -> Array:
         sqrt_D = jnp.sqrt(self.D)
