@@ -144,6 +144,30 @@ def test_dense_syrk_inplace_lowers():
     )
 
 
+def test_dense_blocked_loglik_lowers():
+    """End-to-end blocked dense log-lik at minimal engaging N.
+
+    Covers the syrk_sub_inplace extras variant (fused row sums-of-squares
+    + whitening GEMV side outputs) that the interpret-mode suite runs in
+    Python only.
+    """
+    from tinygp_tpu import GaussianProcess, kernels
+
+    rng = np.random.default_rng(5)
+    n = 4608  # just above ops.dense._MIN_BLOCKED
+    X = jnp.asarray(np.sort(rng.uniform(0, 10, n)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=n), jnp.float32)
+
+    def loglik(X, y, blocked):
+        kernel = 1.5 * kernels.Matern32(scale=2.5)
+        gp = GaussianProcess(kernel, X, diag=0.1, blocked=blocked)
+        return gp.log_probability(y)
+
+    got = _compile_and_run(lambda X, y: loglik(X, y, True), X, y)
+    want = jax.jit(lambda X, y: loglik(X, y, False))(X, y)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+
+
 def test_dense_panel_matmul_lowers():
     rng = np.random.default_rng(4)
     rows, b = 512, 256

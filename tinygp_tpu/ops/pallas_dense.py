@@ -155,11 +155,45 @@ def syrk_sub(
     )(T, L, L)
 
 
-def _make_syrk_inplace_kernel(terms: int):
-    def kernel(im_ref, jm_ref, t_ref, li_ref, lj_ref, out_ref):
-        del im_ref, jm_ref  # consumed by the index maps
+def _make_syrk_inplace_kernel(terms: int, extras: bool, off_t: int):
+    if not extras:
+        def kernel(im_ref, jm_ref, t_ref, li_ref, lj_ref, out_ref):
+            del im_ref, jm_ref  # consumed by the index maps
+            acc = _split_dots(li_ref[:], lj_ref[:], terms, _dot_nt)
+            out_ref[:] = t_ref[:] - acc
+
+        return kernel
+
+    def kernel(
+        im_ref, jm_ref, t_ref, li_ref, lj_ref, ak_ref,
+        out_ref, rsq_ref, rsu_ref,
+    ):
+        del im_ref
         acc = _split_dots(li_ref[:], lj_ref[:], terms, _dot_nt)
         out_ref[:] = t_ref[:] - acc
+
+        g = pl.program_id(0)
+
+        # Row-tile side products, computed once per row on its first
+        # visit (j == off_t in the row-major lower-tile order) while li
+        # is already resident in VMEM: the factor row sums of squares
+        # (diagonal-reconstruction guard) and the whitening GEMV
+        # li @ ak (the running-residual update) — both otherwise cost a
+        # full extra pass over L21 in HBM.
+        @pl.when(jm_ref[g] == off_t)
+        def _():
+            li = li_ref[:]
+            tile = li.shape[0]
+            # Row vectors land as (8, tile//8) blocks: Mosaic requires
+            # the block's trailing dims be (8k, 128k) or full-array.
+            rsq_ref[:] = jnp.sum(li * li, axis=1).reshape(8, tile // 8)
+            rsu = jax.lax.dot_general(
+                li, ak_ref[:],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            rsu_ref[:] = rsu.reshape(8, tile // 8)
 
     return kernel
 
@@ -172,7 +206,8 @@ def syrk_sub_inplace(
     tile: int = 256,
     terms: int = 3,
     interpret: bool | None = None,
-) -> Array:
+    ak: Array | None = None,
+):
     """In-place ``T[offset:, offset:] -= L @ L.T``, lower tiles only.
 
     The output buffer aliases ``T`` (which is consumed), the grid
@@ -183,6 +218,12 @@ def syrk_sub_inplace(
     element exactly once, with no shrinking-slice copies in between.
     Unvisited tiles (everything above the diagonal, and the already-
     factored leading rows) keep their previous contents.
+
+    With ``ak`` (the panel's whitened residual, shape ``(b,)``), returns
+    ``(T, rowsq, rsu)`` where ``rowsq[r] = sum(L[r]**2)`` and
+    ``rsu = L @ ak`` — both computed inside the kernel from the li block
+    already resident in VMEM, saving the factorization's two extra
+    O(N^2) passes over the panel per step.
     """
     m = T.shape[0]
     mt_m, b = L.shape
@@ -195,26 +236,44 @@ def syrk_sub_inplace(
     i_map = jnp.asarray([i + off_t for i, _ in pairs], jnp.int32)
     j_map = jnp.asarray([j + off_t for _, j in pairs], jnp.int32)
 
+    extras = ak is not None
+    in_specs = [
+        pl.BlockSpec((tile, tile), lambda g, im, jm: (im[g], jm[g])),
+        pl.BlockSpec(
+            (tile, b), lambda g, im, jm, o=off_t: (im[g] - o, 0)
+        ),
+        pl.BlockSpec(
+            (tile, b), lambda g, im, jm, o=off_t: (jm[g] - o, 0)
+        ),
+    ]
+    out_specs = pl.BlockSpec(
+        (tile, tile), lambda g, im, jm: (im[g], jm[g])
+    )
+    out_shape = jax.ShapeDtypeStruct((m, m), jnp.float32)
+    operands = [i_map, j_map, T, L, L]
+    if extras:
+        in_specs.append(pl.BlockSpec((1, b), lambda g, im, jm: (0, 0)))
+        row_spec = pl.BlockSpec(
+            (8, tile // 8), lambda g, im, jm, o=off_t: (im[g] - o, 0)
+        )
+        out_specs = [out_specs, row_spec, row_spec]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((mt * 8, tile // 8), jnp.float32),
+            jax.ShapeDtypeStruct((mt * 8, tile // 8), jnp.float32),
+        ]
+        operands.append(ak.reshape(1, b))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(len(pairs),),
-        in_specs=[
-            pl.BlockSpec((tile, tile), lambda g, im, jm: (im[g], jm[g])),
-            pl.BlockSpec(
-                (tile, b), lambda g, im, jm, o=off_t: (im[g] - o, 0)
-            ),
-            pl.BlockSpec(
-                (tile, b), lambda g, im, jm, o=off_t: (jm[g] - o, 0)
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (tile, tile), lambda g, im, jm: (im[g], jm[g])
-        ),
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
-    return pl.pallas_call(
-        _make_syrk_inplace_kernel(terms),
+    out = pl.pallas_call(
+        _make_syrk_inplace_kernel(terms, extras, off_t),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((m, m), jnp.float32),
+        out_shape=out_shape,
         # Operand numbering includes the two scalar-prefetch arrays.
         input_output_aliases={2: 0},
         cost_estimate=pl.CostEstimate(
@@ -223,7 +282,11 @@ def syrk_sub_inplace(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(i_map, j_map, T, L, L)
+    )(*operands)
+    if not extras:
+        return out
+    Tn, rsq, rsu = out
+    return Tn, rsq.reshape(mt_m), rsu.reshape(mt_m)
 
 
 def _dot_nn(x: Array, y: Array) -> Array:
