@@ -99,6 +99,10 @@ def _loglik_kernel(
     if residuals:
         f_refs = refs[pos : pos + m * m]
         pos += m * m
+        e_refs = refs[pos : pos + m]
+        pos += m
+        ic_ref = refs[pos]
+        pos += 1
     ric_park = refs[pos : pos + 3 * m * m]
     pos += 3 * m * m
     aff_park = refs[pos : pos + m * m + m]
@@ -239,6 +243,14 @@ def _loglik_kernel(
     )
     e = efinal[1]  # m components
 
+    if residuals:
+        # The backward kernel's residuals: the whitening states and the
+        # inverse Cholesky diagonal, so the reverse pass recomputes NO
+        # forward-direction scan.
+        for i in range(m):
+            e_refs[i][0] = e[i]
+        ic_ref[0] = ic
+
     alpha = (y_in - sum(p_in[i] * e[i] for i in range(m))) * ic
 
     # The two scalar reductions accumulate into full (sub, lanes) vreg
@@ -312,11 +324,11 @@ def _call_kernel(d, ps, qs, as_, y, *, residuals: bool):
     if residuals:
         out_specs += [
             pl.BlockSpec((1, b, _SUB, ln), index_map)
-            for _ in range(m * m)
+            for _ in range(m * m + m + 1)
         ]
         out_shapes += [
             jax.ShapeDtypeStruct((nc, b, _SUB, ln), jnp.float32)
-            for _ in range(m * m)
+            for _ in range(m * m + m + 1)
         ]
     scratch = (
         [pltpu.VMEM((b, _SUB, ln), jnp.float32) for _ in range(3 * m * m)]
@@ -357,7 +369,11 @@ def _call_kernel(d, ps, qs, as_, y, *, residuals: bool):
         return x.reshape(nc * chunk)[:n]
 
     Fs = jnp.stack([untile(outs[2 + c]) for c in range(m * m)], axis=0)
-    return quad, logdet, Fs
+    e = jnp.stack(
+        [untile(outs[2 + m * m + c]) for c in range(m)], axis=0
+    )
+    ic = untile(outs[2 + m * m + m])
+    return quad, logdet, Fs, e, ic
 
 
 @jax.custom_vjp
@@ -387,15 +403,307 @@ def _glue_terms(d, ps, qs, as_, y, Fs):
 
 
 def _fused_fwd(d, ps, qs, as_, y):
-    quad, logdet, Fs = _call_kernel(d, ps, qs, as_, y, residuals=True)
-    return (quad, logdet), (d, ps, qs, as_, y, Fs)
+    quad, logdet, Fs, e, ic = _call_kernel(d, ps, qs, as_, y, residuals=True)
+    return (quad, logdet), (d, ps, qs, as_, y, Fs, e, ic)
+
+
+def _bwd_kernel(*refs, m: int, block: int, lanes: int):
+    """One reverse grid step: affine adjoint -> cotangent glue -> congruence.
+
+    Mirrors the forward kernel's two-scans-with-glue structure in the
+    reverse direction. Key identity: the whitening transitions
+    ``A = a - wd p^T`` equal the Riccati linearization ``a~`` of
+    :func:`tinygp_tpu.solvers.quasisep.scan._riccati_bwd_s`, so both
+    reverse scans share the per-position transition (applied as a matvec
+    in the affine-adjoint monoid and congruently in the state-adjoint
+    monoid). All emissions are recomputed elementwise from the saved
+    residuals ``(F, e, ic)`` — no forward-direction scan runs here.
+    """
+    n_in = 2 * m * m + 3 * m + 4
+    in_refs = refs[:n_in]
+    pos = n_in
+    n_out = m * m + 2 * m + 2
+    out_refs = refs[pos : pos + n_out]
+    pos += n_out
+    aff_park = refs[pos : pos + m * m + m]
+    pos += m * m + m
+    cong_park = refs[pos : pos + 2 * m * m]
+    pos += 2 * m * m
+    aff_carry = refs[pos : pos + m * m + m]
+    pos += m * m + m
+    cong_carry = refs[pos : pos + 2 * m * m]
+
+    g = pl.program_id(0)
+
+    p_in = [in_refs[i][0] for i in range(m)]
+    q_in = [in_refs[m + i][0] for i in range(m)]
+    a_in = [in_refs[2 * m + c][0] for c in range(m * m)]
+    y_in = in_refs[2 * m + m * m][0]
+    F_in = [in_refs[2 * m + m * m + 1 + c][0] for c in range(m * m)]
+    e_in = [in_refs[2 * m + 2 * m * m + 1 + i][0] for i in range(m)]
+    ic_in = in_refs[2 * m * m + 3 * m + 1][0]
+    qb = in_refs[2 * m * m + 3 * m + 2][0]
+    lb = in_refs[2 * m * m + 3 * m + 3][0]
+
+    # --- elementwise recompute of the forward emissions -------------------
+    ic2 = ic_in * ic_in
+    Fp = [
+        sum(F_in[i * m + j] * p_in[j] for j in range(m)) for i in range(m)
+    ]
+    u = [
+        q_in[i] - sum(a_in[i * m + j] * Fp[j] for j in range(m))
+        for i in range(m)
+    ]
+    wd = [u[i] * ic2 for i in range(m)]
+    A = [
+        a_in[i * m + j] - wd[i] * p_in[j]
+        for i in range(m)
+        for j in range(m)
+    ]
+    At = [A[j * m + i] for i in range(m) for j in range(m)]
+    alpha = (y_in - sum(p_in[i] * e_in[i] for i in range(m))) * ic_in
+    alphabar = 2.0 * qb * alpha
+    ebar = [-(alphabar * ic_in) * p_in[i] for i in range(m)]
+
+    eye = tuple(1.0 if c % (m + 1) == 0 else 0.0 for c in range(m * m))
+
+    def make_comb(combine_l):
+        def comb(earlier, later):
+            return list(
+                combine_l(
+                    tuple(tuple(l) for l in earlier),
+                    tuple(tuple(l) for l in later),
+                )
+            )
+
+        return comb
+
+    # --- reverse exclusive affine-adjoint scan: mu_k = lambda_{k+1} -------
+    aff_counts = (m * m, m)
+    aff_idents = (eye, (0.0,) * m)
+    aff_comb = make_comb(_scan.affine_combine_lists(m, 1, True))
+    aff_elems = At + ebar
+
+    def aff_get_elem(s):
+        vals = [x[s] for x in aff_elems]
+        return [list(vals[: m * m]), list(vals[m * m :])]
+
+    afinal = _run_chunk_scan(
+        aff_comb,
+        aff_get_elem,
+        lambda i, s, val: aff_park[i].__setitem__(s, val),
+        lambda i: aff_park[i][:],
+        aff_carry,
+        aff_counts,
+        aff_idents,
+        block,
+        lanes,
+        True,
+        g,
+    )
+    mu = afinal[1]  # m components: lambda_{k+1}
+
+    # --- cotangent glue: the direct F cotangent (congruence loads) --------
+    Abar = [mu[i] * e_in[j] for i in range(m) for j in range(m)]
+    wdbar = [
+        mu[i] * y_in - sum(Abar[i * m + j] * p_in[j] for j in range(m))
+        for i in range(m)
+    ]
+    ubar = [wdbar[i] * ic2 for i in range(m)]
+    icbar = (
+        -lb / ic_in
+        + alphabar * alpha / ic_in
+        + 2.0 * ic_in * sum(u[i] * wdbar[i] for i in range(m))
+    )
+    c2bar = -0.5 * icbar * ic_in * ic2
+    Fpbar = [
+        -sum(a_in[i * m + j] * ubar[i] for i in range(m))
+        - c2bar * p_in[j]
+        for j in range(m)
+    ]
+    Ybar = [Fpbar[i] * p_in[j] for i in range(m) for j in range(m)]
+
+    # --- reverse exclusive congruence scan: Gbar_k = Fbar_{k+1} -----------
+    cong_counts = (m * m, m * m)
+    cong_idents = (eye, (0.0,) * (m * m))
+    cong_comb = make_comb(_scan.congruence_combine_lists(m, True))
+    cong_elems = At + Ybar
+
+    def cong_get_elem(s):
+        vals = [x[s] for x in cong_elems]
+        return [list(vals[: m * m]), list(vals[m * m :])]
+
+    cfinal = _run_chunk_scan(
+        cong_comb,
+        cong_get_elem,
+        lambda i, s, val: cong_park[i].__setitem__(s, val),
+        lambda i: cong_park[i][:],
+        cong_carry,
+        cong_counts,
+        cong_idents,
+        block,
+        lanes,
+        True,
+        g,
+    )
+    Gbar = cfinal[1]  # m*m components: Fbar_{k+1}
+
+    # --- elementwise input cotangents (the _riccati_bwd_s formulas) -------
+    S = [Gbar[i * m + j] + Gbar[j * m + i] for i in range(m) for j in range(m)]
+    Su = [
+        sum(S[i * m + j] * u[j] for j in range(m)) for i in range(m)
+    ]
+    uSu = sum(u[i] * Su[i] for i in range(m))
+    aTSu = [
+        sum(a_in[i * m + j] * Su[i] for i in range(m)) for j in range(m)
+    ]
+    # (S a F)[ij] = sum_kl S[ik] a[kl] F[lj]
+    Sa = [
+        sum(S[i * m + k] * a_in[k * m + l] for k in range(m))
+        for i in range(m)
+        for l in range(m)
+    ]
+    SaF = [
+        sum(Sa[i * m + l] * F_in[l * m + j] for l in range(m))
+        for i in range(m)
+        for j in range(m)
+    ]
+
+    dbar = c2bar - 0.5 * uSu * ic2 * ic2
+    psbar = [
+        -alphabar * ic_in * e_in[j]
+        - sum(wd[i] * Abar[i * m + j] for i in range(m))
+        - c2bar * Fp[j]
+        + sum(F_in[i * m + j] * Fpbar[i] for i in range(m))
+        - sum(F_in[j * m + i] * aTSu[i] for i in range(m)) * ic2
+        + (uSu * ic2 * ic2) * Fp[j]
+        for j in range(m)
+    ]
+    qsbar = [ubar[i] + Su[i] * ic2 for i in range(m)]
+    asbar = [
+        Abar[i * m + j]
+        - ubar[i] * Fp[j]
+        + SaF[i * m + j]
+        - Su[i] * Fp[j] * ic2
+        for i in range(m)
+        for j in range(m)
+    ]
+    ybar = alphabar * ic_in + sum(wd[i] * mu[i] for i in range(m))
+
+    outs = [dbar] + psbar + qsbar + asbar + [ybar]
+    for ref, val in zip(out_refs, outs):
+        ref[0] = val
+
+
+def _call_bwd_kernel(ps, qs, as_, y, Fs, e, ic, qbar, lbar):
+    """Reverse-pass pallas_call: returns (dbar, psbar, qsbar, asbar, ybar)."""
+    m = ps.shape[0]
+    n = y.shape[-1]
+    b, ln = _BLOCK, _LANES
+    env_b = os.environ.get("TINYGP_TPU_PALLAS_LLK_BLOCK")
+    env_l = os.environ.get("TINYGP_TPU_PALLAS_LLK_LANES")
+    if env_b:
+        b = int(env_b)
+    if env_l:
+        ln = int(env_l)
+    while b * _SUB * ln > max(n, 1) and b > 8:
+        b //= 2
+
+    chunk = b * _SUB * ln
+    nc = -(-n // chunk)
+    pad = nc * chunk - n
+
+    def tile(row, fill):
+        x = row
+        if pad:
+            # Reverse scan: pad on the LEFT with scan-identity rows.
+            x = jnp.pad(x, (pad, 0))
+            idx = jnp.arange(nc * chunk)
+            x = jnp.where(idx >= pad, x, jnp.float32(fill))
+        x = x.reshape(nc, _SUB, ln, b)
+        return jnp.transpose(x, (0, 3, 1, 2))
+
+    # Pad element: identity transition (a = I, p = q = 0), zero saved
+    # state, ic = 1 -> both scan elements are identities and every output
+    # cotangent at a pad position is sliced off below.
+    tiled = [tile(ps[i], 0.0) for i in range(m)]
+    tiled += [tile(qs[i], 0.0) for i in range(m)]
+    tiled += [
+        tile(as_[c], 1.0 if c % (m + 1) == 0 else 0.0)
+        for c in range(m * m)
+    ]
+    tiled.append(tile(y, 0.0))
+    tiled += [tile(Fs[c], 0.0) for c in range(m * m)]
+    tiled += [tile(e[i], 0.0) for i in range(m)]
+    tiled.append(tile(ic, 1.0))
+    # Scalar cotangents ride as broadcast streams (two extra reads of
+    # N f32 ~ 8 MB at N=1e6: negligible next to SMEM plumbing).
+    tiled.append(tile(jnp.broadcast_to(qbar, (n,)), 0.0))
+    tiled.append(tile(jnp.broadcast_to(lbar, (n,)), 0.0))
+
+    index_map = lambda g, nc=nc: (nc - 1 - g, 0, 0, 0)
+    in_specs = [pl.BlockSpec((1, b, _SUB, ln), index_map) for _ in tiled]
+    n_out = m * m + 2 * m + 2
+    out_specs = [
+        pl.BlockSpec((1, b, _SUB, ln), index_map) for _ in range(n_out)
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((nc, b, _SUB, ln), jnp.float32)
+        for _ in range(n_out)
+    ]
+    scratch = (
+        [pltpu.VMEM((b, _SUB, ln), jnp.float32) for _ in range(m * m + m)]
+        + [
+            pltpu.VMEM((b, _SUB, ln), jnp.float32)
+            for _ in range(2 * m * m)
+        ]
+        + [pltpu.VMEM((_SUB, ln), jnp.float32) for _ in range(m * m + m)]
+        + [
+            pltpu.VMEM((_SUB, ln), jnp.float32)
+            for _ in range(2 * m * m)
+        ]
+    )
+
+    kernel = functools.partial(_bwd_kernel, m=m, block=b, lanes=ln)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nc,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(pltpu.GridDimensionSemantics.ARBITRARY,),
+        ),
+        interpret=pallas_scan.INTERPRET,
+    )(*tiled)
+
+    def untile(x):
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        return x.reshape(nc * chunk)[pad:]
+
+    dbar = untile(outs[0])
+    psbar = jnp.stack([untile(outs[1 + i]) for i in range(m)], axis=0)
+    qsbar = jnp.stack(
+        [untile(outs[1 + m + i]) for i in range(m)], axis=0
+    )
+    asbar = jnp.stack(
+        [untile(outs[1 + 2 * m + c]) for c in range(m * m)], axis=0
+    )
+    ybar = untile(outs[1 + 2 * m + m * m])
+    return dbar, psbar, qsbar, asbar, ybar
 
 
 def _fused_bwd(res, cts):
-    d, ps, qs, as_, y, Fs = res
-    # The glue (emissions + affine whitening) is recomputed under vjp from
-    # the saved F prefix — it is the cheap fraction of the forward. Its F
-    # cotangent then flows through the hand-written Riccati adjoint.
+    d, ps, qs, as_, y, Fs, e, ic = res
+    if os.environ.get("TINYGP_TPU_PALLAS_LLK_BWD", "1") == "1":
+        # One fused reverse Pallas pass: both adjoint scans + all the
+        # elementwise cotangent math, no forward-direction recompute.
+        qbar, lbar = cts
+        return _call_bwd_kernel(ps, qs, as_, y, Fs, e, ic, qbar, lbar)
+    # Reference composition (also the parity oracle for the kernel): the
+    # glue recomputed under jax.vjp from the saved F prefix, its F
+    # cotangent routed through the hand-written Riccati adjoint.
     _, vjp = jax.vjp(_glue_terms, d, ps, qs, as_, y, Fs)
     dbar, psbar, qsbar, asbar, ybar, Fbar = vjp(cts)
     d2, p2, q2, a2 = _scan._riccati_bwd_s((d, ps, qs, as_, Fs), Fbar)
