@@ -25,9 +25,12 @@ import jax.numpy as jnp
 from tinygp_tpu.ops import pallas_dense
 from tinygp_tpu.solvers.quasisep import ops, scan
 
-# Just above the associative cutoff so supported()/supports() select the
-# Pallas strategies; small enough that each compile stays cheap.
-N = scan._ASSOC_CUTOFF + 4096
+# Above the associative cutoff so supported()/supports() select the
+# Pallas strategies, AND above one full production chunk (block 32 x 8
+# sublanes x 128 lanes = 32768) so the kernels compile with their real
+# tiling — a smaller N shrinks the block and masks VMEM overflows (the
+# m=3 forward OOMed at N=1e5 while passing a 12k-point smoke, 2026-08-20).
+N = 5 * 8192
 
 
 def _operands(m, n=N, seed=0):

@@ -275,7 +275,11 @@ def _loglik_kernel(
 def _call_kernel(d, ps, qs, as_, y, *, residuals: bool):
     m = ps.shape[0]
     n = d.shape[-1]
-    b, ln = _BLOCK, _LANES
+    # Scoped VMEM scales with the component count (~m^2): block 32 fits
+    # m <= 2 but measured 19.4 MB against the 16 MB limit for the m=3
+    # forward at N=1e5 (2026-08-20 compile OOM — the small-N smoke shape
+    # had masked it by shrinking the block). Halve for m = 3.
+    b, ln = (_BLOCK if m <= 2 else _BLOCK // 2), _LANES
     env_b = os.environ.get("TINYGP_TPU_PALLAS_LLK_BLOCK")
     env_l = os.environ.get("TINYGP_TPU_PALLAS_LLK_LANES")
     if env_b:
@@ -599,7 +603,10 @@ def _call_bwd_kernel(ps, qs, as_, y, Fs, e, ic, qbar, lbar):
     """Reverse-pass pallas_call: returns (dbar, psbar, qsbar, asbar, ybar)."""
     m = ps.shape[0]
     n = y.shape[-1]
-    b, ln = _BLOCK, _LANES
+    # Same m-scaled block as the forward (see _call_kernel): the reverse
+    # pass carries more streams (saved residuals + per-input cotangent
+    # outputs), so m = 3 shrinks a step further.
+    b, ln = (_BLOCK if m <= 2 else _BLOCK // 4), _LANES
     env_b = os.environ.get("TINYGP_TPU_PALLAS_LLK_BLOCK")
     env_l = os.environ.get("TINYGP_TPU_PALLAS_LLK_LANES")
     if env_b:
